@@ -94,7 +94,12 @@ class TrackerConfig:
     tracker_slowdown: float = 0.1
     tracker_closeness: float = math.radians(5.0)
     error_threshold: float = 1.0
-    particle_rate: float = 5e-4
+    # Monopulse step scaling: step = gain * spread * discriminant (the
+    # discriminant is scale-invariant in [-1, 1]; the reference's
+    # PARTICLE_RATE 5e-4 with raw-power-relative gradients is signal-level
+    # dependent — see models/tracker.py).
+    seeker_step_gain: float = 2.0
+    tracker_step_gain: float = 1.0
     fov_degrees: float = 180.0
     iterations: int = 10         # swarm update iterations per block
 

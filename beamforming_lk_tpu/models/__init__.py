@@ -9,3 +9,13 @@ from beamforming_lk_tpu.models.mimo import (
     render_heatmap,
 )
 from beamforming_lk_tpu.models.calibration import CalibrationResult, calibrate
+from beamforming_lk_tpu.models.kalman import KalmanFilter3D, KalmanState
+from beamforming_lk_tpu.models.miso import MisoState, make_miso_step, miso_init, miso_steer
+from beamforming_lk_tpu.models.targets import targets_to_list
+from beamforming_lk_tpu.models.tracker import (
+    Particles,
+    SwarmState,
+    Targets,
+    make_swarm_step,
+    swarm_init,
+)

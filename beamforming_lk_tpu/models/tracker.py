@@ -1,0 +1,373 @@
+"""Gradient-ascent source finder/tracker swarm — batched and on-device.
+
+Re-design of the reference's ``SphericalGradient`` worker
+(``src/dsp/gradient_ascend.cpp``): 16 seekers + 10 trackers, each stepping
+by 4-point quadrant amplitude monopulse.  The reference iterates particle
+objects on a CPU thread, beamforming 4 probes per particle per step through
+the shared ``delay()`` kernel (gradient_ascend.cpp:50-60); here the whole
+swarm is a fixed-shape state pytree and every step beamforms ALL probes of
+ALL particles as one batched DAS matmul.  Data-dependent control flow
+(merge / jump / promote / prune, gradient_ascend.cpp:332-393) is expressed
+with masks under ``lax`` so the entire per-block update jits into a single
+device program — no per-step host sync.
+
+Behavioral parity notes:
+- the reference's ``while canContinue()`` loop runs a wall-clock-dependent
+  number of iterations per block; we run a fixed ``cfg.iterations`` count
+  (deterministic, and matching the ``iterations`` argument the reference
+  accepts but ignores, aw_processing_unit.cpp:83).
+- tracker merge is vectorized pairwise (older survives); the reference's
+  sequential scan can differ on 3-way chains within one iteration — the
+  fixed point is identical.
+- promoting a converged seeker starts *all* free trackers at its direction,
+  exactly as the reference does (gradient_ascend.cpp:385-393) — the next
+  merge pass collapses them to the oldest one.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from beamforming_lk_tpu.config import ArrayConfig, DspConfig, TrackerConfig
+from beamforming_lk_tpu.ops import antenna as ant
+from beamforming_lk_tpu.ops import delay as dl
+from beamforming_lk_tpu.ops.geometry import (
+    normalize_spherical,
+    quadrant_probes,
+    spherical_angle,
+)
+
+EPSILON = 1e-9
+
+
+class Particles(NamedTuple):
+    """A batch of monopulse particles (seekers or trackers)."""
+
+    theta: jnp.ndarray        # [P]
+    phi: jnp.ndarray          # [P]
+    grad_theta: jnp.ndarray   # [P] last gradient
+    grad_phi: jnp.ndarray     # [P]
+    radius: jnp.ndarray       # [P] mean probe power (directionGradient.radius)
+    error: jnp.ndarray        # [P] gradientError
+
+
+class SwarmState(NamedTuple):
+    seekers: Particles
+    trackers: Particles
+    tracking: jnp.ndarray     # [Nt] bool, tracker active
+    start: jnp.ndarray        # [Nt] float32 block index when tracking began
+    jumped: jnp.ndarray       # [Ns] bool
+    mean: jnp.ndarray         # scalar mean seeker power
+    reset_count: jnp.ndarray  # int32 blocks since start
+    key: jnp.ndarray          # PRNG key
+    # Previous block's published targets (used for seeker avoidance, as the
+    # reference compares seekers against the published `tracking` list,
+    # gradient_ascend.cpp:362-367).
+    target_theta: jnp.ndarray  # [Nt]
+    target_phi: jnp.ndarray    # [Nt]
+    target_valid: jnp.ndarray  # [Nt] bool
+
+
+class Targets(NamedTuple):
+    """Published target list (reference: Target struct, worker.h:32-61)."""
+
+    theta: jnp.ndarray        # [Nt]
+    phi: jnp.ndarray          # [Nt]
+    power: jnp.ndarray        # [Nt]
+    probability: jnp.ndarray  # [Nt] = 1 / gradientError
+    start: jnp.ndarray        # [Nt] block index
+    valid: jnp.ndarray        # [Nt] bool
+
+
+def _empty_particles(n: int) -> Particles:
+    z = jnp.zeros((n,), jnp.float32)
+    return Particles(z, z, z, z, z, z)
+
+
+def _random_directions(key, n: int, theta_limit: float):
+    """Uniform placement in the search domain (particle.cpp:11-14)."""
+    k1, k2 = jax.random.split(key)
+    theta = jax.random.uniform(k1, (n,), jnp.float32, 0.0, theta_limit)
+    phi = jax.random.uniform(k2, (n,), jnp.float32, 0.0, 2.0 * np.pi)
+    return theta, phi
+
+
+def swarm_init(cfg: TrackerConfig, key) -> SwarmState:
+    key, sub = jax.random.split(key)
+    s_theta, s_phi = _random_directions(sub, cfg.n_seekers, cfg.theta_limit)
+    seekers = _empty_particles(cfg.n_seekers)._replace(theta=s_theta, phi=s_phi)
+    nt = cfg.n_trackers
+    return SwarmState(
+        seekers=seekers,
+        trackers=_empty_particles(nt),
+        tracking=jnp.zeros((nt,), bool),
+        start=jnp.zeros((nt,), jnp.float32),
+        jumped=jnp.zeros((cfg.n_seekers,), bool),
+        mean=jnp.zeros((), jnp.float32),
+        reset_count=jnp.zeros((), jnp.int32),
+        key=key,
+        target_theta=jnp.zeros((nt,), jnp.float32),
+        target_phi=jnp.zeros((nt,), jnp.float32),
+        target_valid=jnp.zeros((nt,), bool),
+    )
+
+
+def _monopulse_step(
+    particles: Particles,
+    active,
+    window,
+    points,
+    channel_mask,
+    rate: float,
+    spread: float,
+    theta_limit: float,
+    shift_range: int,
+    mode: str,
+    fir_bank,
+    samples_per_meter: float,
+):
+    """One batched GradientParticle::step (gradient_ascend.cpp:30-81).
+
+    Inactive particles pass through unchanged.
+    """
+    theta, phi = particles.theta, particles.phi
+    pt, pp, adj_theta = quadrant_probes(theta, phi, spread)
+    pt, pp = normalize_spherical(pt, pp, theta_limit)      # particle.h:24-27
+    theta = adj_theta  # quadrant() nudges theta near the FoV edge
+
+    delays = ant.steering_delays(points, pt, pp, samples_per_meter)  # [P,4,C]
+    w = dl.das_weights(delays, shift_range, mode, fir_bank)
+    if channel_mask is not None:
+        w = w * channel_mask[..., :, None]
+    beams = dl.das_beam(window, w)                         # [P, 4, T]
+    t = beams.shape[-1]
+    powers = dl.das_power(beams, use_bandpass=True, divisor=t)  # [P, 4]
+
+    q1, q2, q3, q4 = powers[..., 0], powers[..., 1], powers[..., 2], powers[..., 3]
+    total = jnp.maximum(q1 + q2 + q3 + q4, 1e-30)
+    # Amplitude-monopulse discriminants for OUR probe orientation: after
+    # Rz(phi) @ Ry(theta), local +X points toward increasing theta, so probes
+    # q1 (45 deg) and q2 (315 deg) sit at larger theta, q3/q4 at smaller;
+    # q1/q4 sit at larger phi.  Normalizing by the probe sum (instead of the
+    # reference's raw-mic power, gradient_ascend.cpp:69-71) makes the
+    # discriminant scale-invariant in [-1, 1], so step sizes proportional to
+    # the probe spread converge regardless of absolute signal level.
+    grad_theta = ((q1 + q2) - (q3 + q4)) / total
+    grad_phi = ((q1 + q4) - (q2 + q3)) / total
+    error = jnp.abs(grad_theta) + jnp.abs(grad_phi)
+    radius = (q1 + q2 + q3 + q4) / 4.0
+
+    # Particle::step (particle.cpp:22-27): theta first, then phi scaled by
+    # 1/sin(eps + NEW theta).
+    new_theta = theta + rate * grad_theta
+    new_phi = phi + (rate * grad_phi) / jnp.sin(EPSILON + new_theta)
+    new_theta, new_phi = normalize_spherical(new_theta, new_phi, theta_limit)
+
+    def sel(new, old):
+        return jnp.where(active, new, old)
+
+    return Particles(
+        theta=sel(new_theta, particles.theta),
+        phi=sel(new_phi, particles.phi),
+        grad_theta=sel(grad_theta, particles.grad_theta),
+        grad_phi=sel(grad_phi, particles.grad_phi),
+        radius=sel(radius, particles.radius),
+        error=sel(error, particles.error),
+    )
+
+
+def _merge_trackers(trackers: Particles, tracking, start, closeness: float):
+    """Absorb pairwise-close trackers, oldest wins
+    (gradient_ascend.cpp:332-351)."""
+    nt = tracking.shape[0]
+    ang = spherical_angle(
+        trackers.theta[:, None],
+        trackers.phi[:, None],
+        trackers.theta[None, :],
+        trackers.phi[None, :],
+    )
+    both = tracking[:, None] & tracking[None, :]
+    close = (ang < closeness) & both & ~jnp.eye(nt, dtype=bool)
+    # For pair (m, n): the younger one stops.  m stops if it started strictly
+    # later, or on a tie if m has the larger index (the reference keeps
+    # trackers[m] on ties since `m > n` is false, stopping n — i.e. the
+    # lower index survives).
+    older = (start[:, None] > start[None, :]) | (
+        (start[:, None] == start[None, :])
+        & (jnp.arange(nt)[:, None] > jnp.arange(nt)[None, :])
+    )
+    stop = jnp.any(close & older, axis=1)
+    return tracking & ~stop
+
+
+def make_swarm_step(
+    points,
+    cfg: TrackerConfig,
+    dsp: DspConfig,
+    array_cfg: ArrayConfig,
+    channel_mask=None,
+    fir_bank=None,
+):
+    """Build the jitted per-block swarm update.
+
+    Returns ``step(state, window, block_index) -> (state, Targets)`` where
+    ``window`` is the DAS window from :func:`ring_window` and ``block_index``
+    an int32 block counter (the clock for tracker ages / seeker resets).
+    """
+    points = jnp.asarray(points, jnp.float32)
+    mask = None if channel_mask is None else jnp.asarray(channel_mask, jnp.float32)
+    if dsp.interp == "fir" and fir_bank is None:
+        fir_bank = dl.fractional_delay_fir_bank(dsp.fir_phases, dsp.fir_taps)
+    bank = None if dsp.interp == "linear" else jnp.asarray(fir_bank)
+    taps = dl.LINEAR_TAPS if dsp.interp == "linear" else dsp.fir_taps
+    spm = array_cfg.samples_per_meter
+
+    mono = functools.partial(
+        _monopulse_step,
+        points=points,
+        channel_mask=mask,
+        theta_limit=cfg.theta_limit,
+        shift_range=dsp.shift_range,
+        mode=dsp.interp,
+        fir_bank=bank,
+        samples_per_meter=spm,
+    )
+
+    t_len = dsp.block_size
+
+    @jax.jit
+    def step(state: SwarmState, window, block_index):
+        # --- Reference power: bandpass power of channel 0's raw block
+        # (gradient_ascend.cpp:304-313). The beamformed block sits at window
+        # offset (S - taps).
+        b0 = dsp.shift_range - taps
+        raw = jax.lax.dynamic_slice_in_dim(window[0], b0, t_len)
+        reference = dl.das_power(raw, use_bandpass=True, divisor=t_len - 2)
+
+        # --- Seeker reset every seeker_reset_interval blocks
+        # (gradient_ascend.cpp:295-299).
+        key, sub = jax.random.split(state.key)
+        do_reset = jnp.mod(state.reset_count, cfg.seeker_reset_interval) == 0
+        r_theta, r_phi = _random_directions(sub, cfg.n_seekers, cfg.theta_limit)
+        seekers = state.seekers._replace(
+            theta=jnp.where(do_reset, r_theta, state.seekers.theta),
+            phi=jnp.where(do_reset, r_phi, state.seekers.phi),
+        )
+        trackers, tracking, start = state.trackers, state.tracking, state.start
+        mean = state.mean
+
+        def iteration(carry, _):
+            seekers, trackers, tracking, start, mean, key = carry
+
+            # Trackers: trackerSteps sub-steps at slowed rate
+            # (gradient_ascend.cpp:323-330).
+            def tracker_substep(tr, _):
+                tr = mono(
+                    tr,
+                    tracking,
+                    window,
+                    rate=cfg.tracker_step_gain * cfg.tracker_spread,
+                    spread=cfg.tracker_spread,
+                )
+                return tr, None
+
+            trackers, _ = jax.lax.scan(
+                tracker_substep, trackers, None, length=cfg.tracker_steps
+            )
+            n_tracking = jnp.sum(tracking)
+
+            # Merge close trackers (oldest wins).
+            tracking = _merge_trackers(trackers, tracking, start, cfg.tracker_closeness)
+
+            # Seekers: one full-rate step.
+            all_on = jnp.ones((cfg.n_seekers,), bool)
+            seekers = mono(
+                seekers,
+                all_on,
+                window,
+                rate=cfg.seeker_step_gain * cfg.seeker_spread,
+                spread=cfg.seeker_spread,
+            )
+
+            # Jump seekers that wander into a published target's capture zone
+            # (gradient_ascend.cpp:360-371; jump size thetaLimit/2,
+            # gradient_ascend.cpp:89-92).
+            ang = spherical_angle(
+                seekers.theta[:, None],
+                seekers.phi[:, None],
+                state.target_theta[None, :],
+                state.target_phi[None, :],
+            )
+            too_close = jnp.any((ang < cfg.tracker_closeness) & state.target_valid, axis=1)
+            key, k1, k2 = jax.random.split(key, 3)
+            jump = cfg.theta_limit / 2.0
+            j_theta = seekers.theta + (jax.random.uniform(k1, seekers.theta.shape) * 2 - 1) * jump
+            j_phi = seekers.phi + (jax.random.uniform(k2, seekers.phi.shape) * 2 - 1) * jump
+            j_theta, j_phi = normalize_spherical(j_theta, j_phi, cfg.theta_limit)
+            seekers = seekers._replace(
+                theta=jnp.where(too_close, j_theta, seekers.theta),
+                phi=jnp.where(too_close, j_phi, seekers.phi),
+            )
+
+            # Converged-best seeker -> promote to all free trackers
+            # (gradient_ascend.cpp:374-393).
+            valid = ~too_close
+            converged = valid & (seekers.error < cfg.error_threshold)
+            power_masked = jnp.where(converged, seekers.radius, -jnp.inf)
+            best = jnp.argmax(power_masked)
+            better = jnp.any(converged & (seekers.radius > 0.0))
+            promote = better & (n_tracking < cfg.n_trackers) & ~tracking
+            trackers = trackers._replace(
+                theta=jnp.where(promote, seekers.theta[best], trackers.theta),
+                phi=jnp.where(promote, seekers.phi[best], trackers.phi),
+            )
+            start = jnp.where(promote, block_index.astype(jnp.float32), start)
+            tracking = tracking | promote
+
+            n_valid = jnp.maximum(jnp.sum(valid), 1)
+            mean = jnp.sum(jnp.where(valid, seekers.radius, 0.0)) / n_valid
+            return (seekers, trackers, tracking, start, mean, key), None
+
+        (seekers, trackers, tracking, start, mean, key), _ = jax.lax.scan(
+            iteration,
+            (seekers, trackers, tracking, start, mean, key),
+            None,
+            length=cfg.iterations,
+        )
+
+        # Publish: prune weak/diverged trackers (gradient_ascend.cpp:398-408).
+        weak = (
+            (trackers.radius < mean)
+            | (trackers.radius < reference)
+            | (trackers.error > cfg.error_threshold)
+        )
+        tracking = tracking & ~weak
+        targets = Targets(
+            theta=trackers.theta,
+            phi=trackers.phi,
+            power=trackers.radius,
+            probability=1.0 / jnp.maximum(trackers.error, 1e-30),
+            start=start,
+            valid=tracking,
+        )
+        new_state = SwarmState(
+            seekers=seekers,
+            trackers=trackers,
+            tracking=tracking,
+            start=start,
+            jumped=state.jumped,
+            mean=mean,
+            reset_count=state.reset_count + 1,
+            key=key,
+            target_theta=trackers.theta,
+            target_phi=trackers.phi,
+            target_valid=tracking,
+        )
+        return new_state, targets
+
+    return step

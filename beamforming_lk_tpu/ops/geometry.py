@@ -117,18 +117,34 @@ def normalize_spherical(theta, phi, theta_limit):
     return jnp.clip(theta, 0.0, theta_limit), wrap_angle(phi)
 
 
+def _edge_adjust(theta, spread):
+    """FoV-edge handling shared by all probe generators: when the current
+    direction is within ``spread`` of the horizon the reference both backs
+    off the rotation angle and nudges the particle's own theta inward by
+    ``spread/2`` (geometry.cpp:159-165); callers apply the returned
+    adjusted theta."""
+    near_edge = theta + spread > PI_HALF
+    rotate_theta = jnp.where(near_edge, theta - spread, theta)
+    adjusted_theta = jnp.where(near_edge, theta - spread / 2.0, theta)
+    return rotate_theta, adjusted_theta
+
+
 def _rotated_probes(base_phis_deg, theta, phi, spread):
-    """Shared machinery of ``quadrant``/``nearby`` probe generation.
+    """Probe ring *centered on the steered direction* (theta, phi).
 
-    Mirrors ``Spherical::quadrant``/``nearby`` (geometry.cpp:144-217): place 4
-    probe points at inclination ``spread`` with azimuths ``base_phis_deg``,
-    rotate them (as row vectors) by ``Ry(theta') @ Rz(phi)``, then read back
-    spherical angles as ``theta = acos(z)``, ``phi = atan2(y, x) - pi``.
+    Place 4 probe points at inclination ``spread`` around +Z with azimuths
+    ``base_phis_deg``, rotate +Z onto the current direction with
+    ``Rz(phi) @ Ry(theta)``, and read spherical angles back.
 
-    When the current direction is within ``spread`` of the FoV edge the
-    reference both backs off the rotation angle and nudges the particle's own
-    theta inward by ``spread/2`` — we return the adjusted theta so callers can
-    apply the same mutation.
+    This deliberately deviates from the reference's
+    ``Spherical::quadrant``/``nearby`` (geometry.cpp:144-217), which rotates
+    row-vectors by ``Ry(theta) @ Rz(phi)`` and subtracts pi from the
+    read-back azimuth — netting probes centered on (theta, -phi), i.e.
+    azimuth-mirrored AWAY from where the particle's beam points.  Monopulse
+    gradients built on those probes only point at the source near phi = 0;
+    the self-consistent version here converges everywhere.  The
+    reference-exact construction is kept as
+    :func:`quadrant_probes_reference` and pinned by a parity test.
 
     Returns (probe_theta[..., 4], probe_phi[..., 4], adjusted_theta[...]).
     """
@@ -137,23 +153,38 @@ def _rotated_probes(base_phis_deg, theta, phi, spread):
     base_phi = jnp.deg2rad(jnp.asarray(base_phis_deg, jnp.float32))
     base = spherical_to_cartesian(jnp.full_like(base_phi, spread), base_phi)  # [4, 3]
 
-    near_edge = theta + spread > PI_HALF
-    rotate_theta = jnp.where(near_edge, theta - spread, theta)
-    adjusted_theta = jnp.where(near_edge, theta - spread / 2.0, theta)
-
-    rot = rotation_y(rotate_theta) @ rotation_z(phi)          # [..., 3, 3]
-    rotated = jnp.einsum("pi,...ij->...pj", base, rot)        # row-vector product
+    rotate_theta, adjusted_theta = _edge_adjust(theta, spread)
+    rot = rotation_z(phi) @ rotation_y(rotate_theta)          # [..., 3, 3]
+    rotated = jnp.einsum("...ij,pj->...pi", rot, base)
     probe_theta = jnp.arccos(jnp.clip(rotated[..., 2], -1.0, 1.0))
-    probe_phi = jnp.arctan2(rotated[..., 1], rotated[..., 0]) - np.pi
+    probe_phi = jnp.arctan2(rotated[..., 1], rotated[..., 0])
     return probe_theta, probe_phi, adjusted_theta
 
 
 def quadrant_probes(theta, phi, spread):
-    """4 diagonal monopulse probes (q1..q4 at 45/315/225/135 degrees).
-    (reference: geometry.cpp:181-217)"""
+    """4 diagonal monopulse probes (q1..q4 at 45/315/225/135 degrees),
+    centered on the steered direction (see :func:`_rotated_probes` for the
+    deliberate deviation from geometry.cpp:181-217)."""
     return _rotated_probes((45.0, 315.0, 225.0, 135.0), theta, phi, spread)
 
 
 def nearby_probes(theta, phi, spread):
-    """N/E/S/W monopulse probes.  (reference: geometry.cpp:144-179)"""
+    """N/E/S/W monopulse probes (geometry.cpp:144-179, re-centered)."""
     return _rotated_probes((0.0, 90.0, 180.0, 270.0), theta, phi, spread)
+
+
+def quadrant_probes_reference(theta, phi, spread):
+    """Bit-faithful port of ``Spherical::quadrant`` (geometry.cpp:181-217),
+    including its azimuth mirror — kept for parity testing against the
+    reference; the framework's dynamics use :func:`quadrant_probes`."""
+    theta = jnp.asarray(theta, jnp.float32)
+    phi = jnp.asarray(phi, jnp.float32)
+    base_phi = jnp.deg2rad(jnp.asarray((45.0, 315.0, 225.0, 135.0), jnp.float32))
+    base = spherical_to_cartesian(jnp.full_like(base_phi, spread), base_phi)
+
+    rotate_theta, adjusted_theta = _edge_adjust(theta, spread)
+    rot = rotation_y(rotate_theta) @ rotation_z(phi)
+    rotated = jnp.einsum("pi,...ij->...pj", base, rot)        # row-vector product
+    probe_theta = jnp.arccos(jnp.clip(rotated[..., 2], -1.0, 1.0))
+    probe_phi = jnp.arctan2(rotated[..., 1], rotated[..., 0]) - np.pi
+    return probe_theta, probe_phi, adjusted_theta

@@ -58,14 +58,14 @@ def test_horizontal_to_spherical_boresight():
     assert np.allclose(theta, 0.0, atol=1e-6)
 
 
-def test_quadrant_probes_match_reference():
+def test_quadrant_probes_reference_parity():
     rng = np.random.default_rng(1)
     for _ in range(10):
         theta = rng.uniform(0.0, math.pi / 2)
         phi = rng.uniform(0, 2 * math.pi)
         spread = math.radians(2.0)
         probes_ref, adj_ref = ref.quadrant_ref(theta, phi, spread)
-        pt, pp, adj = g.quadrant_probes(theta, phi, spread)
+        pt, pp, adj = g.quadrant_probes_reference(theta, phi, spread)
         pt, pp, adj = np.asarray(pt), np.asarray(pp), np.asarray(adj)
         assert np.allclose(adj, adj_ref, atol=1e-5)
         for i, (rt, rp) in enumerate(probes_ref):

@@ -1,0 +1,103 @@
+import math
+
+import jax
+import numpy as np
+
+from beamforming_lk_tpu.config import ArrayConfig, DspConfig, TrackerConfig
+from beamforming_lk_tpu.io import ring_init, ring_push, ring_window
+from beamforming_lk_tpu.io.synthetic import synthetic_blocks
+from beamforming_lk_tpu.models import tracker as trk
+from beamforming_lk_tpu.ops import antenna as ant
+from beamforming_lk_tpu.ops.geometry import spherical_angle
+
+ACFG = ArrayConfig()
+DCFG = DspConfig()
+TCFG = TrackerConfig(
+    n_seekers=8, n_trackers=4, iterations=4, fov_degrees=120.0,
+    seeker_reset_interval=64,
+)
+
+
+def _run_blocks(sources, n_blocks, cfg=TCFG, seed=0, amplitude=1e-2):
+    pts = ant.create_antenna_grid(8, 8, 0.02)
+    step = trk.make_swarm_step(pts, cfg, DCFG, ACFG)
+    state = trk.swarm_init(cfg, jax.random.PRNGKey(seed))
+    hist = ring_init(64, DCFG.history)
+    targets = None
+    for i, b in enumerate(
+        synthetic_blocks(pts, sources, n_blocks, amplitude=amplitude)
+    ):
+        hist = ring_push(hist, b)
+        window = ring_window(hist, DCFG.block_size, DCFG.shift_range, 2)
+        state, targets = step(state, window, np.int32(i))
+    return state, targets
+
+
+def test_tracker_converges_to_source():
+    src_theta, src_phi = math.radians(25.0), math.radians(60.0)
+    state, targets = _run_blocks([(src_theta, src_phi, 5000.0)], 25)
+    valid = np.asarray(targets.valid)
+    assert valid.any(), "no tracker locked on"
+    th = np.asarray(targets.theta)[valid]
+    ph = np.asarray(targets.phi)[valid]
+    d = np.degrees(
+        np.asarray(spherical_angle(th, ph, src_theta, src_phi))
+    )
+    assert d.min() < 10.0, f"closest tracker {d.min():.1f} deg away"
+
+
+def test_no_source_no_confident_targets():
+    # Pure noise: any surviving target must carry near-noise power.
+    rng = np.random.default_rng(3)
+    pts = ant.create_antenna_grid(8, 8, 0.02)
+    step = trk.make_swarm_step(pts, TCFG, DCFG, ACFG)
+    state = trk.swarm_init(TCFG, jax.random.PRNGKey(1))
+    hist = ring_init(64, DCFG.history)
+    for i in range(10):
+        block = rng.normal(0, 1e-3, size=(64, DCFG.block_size)).astype(np.float32)
+        hist = ring_push(hist, block)
+        window = ring_window(hist, DCFG.block_size, DCFG.shift_range, 2)
+        state, targets = step(state, window, np.int32(i))
+    power = np.asarray(targets.power)[np.asarray(targets.valid)]
+    if power.size:
+        assert power.max() < 1e-4
+
+
+def test_merge_trackers_keeps_oldest():
+    theta = np.array([0.3, 0.3, 1.0], np.float32)
+    phi = np.array([1.0, 1.01, 4.0], np.float32)
+    particles = trk.Particles(
+        theta=theta, phi=phi,
+        grad_theta=np.zeros(3, np.float32), grad_phi=np.zeros(3, np.float32),
+        radius=np.ones(3, np.float32), error=np.zeros(3, np.float32),
+    )
+    tracking = np.array([True, True, True])
+    start = np.array([5.0, 2.0, 0.0], np.float32)  # tracker 1 older than 0
+    new_tracking = np.asarray(
+        trk._merge_trackers(particles, tracking, start, math.radians(5.0))
+    )
+    assert new_tracking.tolist() == [False, True, True]
+
+
+def test_merge_tie_keeps_lower_index():
+    particles = trk.Particles(
+        theta=np.array([0.3, 0.3], np.float32),
+        phi=np.array([1.0, 1.0], np.float32),
+        grad_theta=np.zeros(2, np.float32), grad_phi=np.zeros(2, np.float32),
+        radius=np.ones(2, np.float32), error=np.zeros(2, np.float32),
+    )
+    new_tracking = np.asarray(
+        trk._merge_trackers(
+            particles, np.array([True, True]), np.array([3.0, 3.0], np.float32),
+            math.radians(5.0),
+        )
+    )
+    assert new_tracking.tolist() == [True, False]
+
+
+def test_swarm_state_shapes():
+    state = trk.swarm_init(TCFG, jax.random.PRNGKey(0))
+    assert state.seekers.theta.shape == (TCFG.n_seekers,)
+    assert state.trackers.theta.shape == (TCFG.n_trackers,)
+    assert not bool(np.asarray(state.tracking).any())
+    assert (np.asarray(state.seekers.theta) <= TCFG.theta_limit + 1e-6).all()
