@@ -1,0 +1,321 @@
+"""AWPU: the fused per-array processing step.
+
+The reference's ``AWProcessingUnit`` (``src/aw_processing_unit/
+aw_processing_unit.cpp``) spawns MIMO / MISO / GRADIENT worker threads that
+each re-read the shared ring buffers per block.  All three route through the
+same ``delay()`` DAS kernel (``src/dsp/mimo.cpp:128``,
+``src/dsp/particle.cpp:51-82``); here they are literally one device program:
+
+    step(state, block) ->
+        heatmap powers [D]   (MIMO worker,    mimo.cpp:97-151)
+        target list          (GRADIENT worker, gradient_ascend.cpp:301-409)
+        audio beam [T]       (MISO worker,    miso.cpp:25-55)
+
+and the program runs unchanged on one chip or ``shard_map``-sharded over a
+``(ch, dir)`` mesh: mic channels psum partial beams, the heatmap direction
+grid splits freely, tracker/MISO state stays replicated (their collectives
+make every shard agree bit-for-bit).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from beamforming_lk_tpu.config import Config
+from beamforming_lk_tpu.io import ring as rg
+from beamforming_lk_tpu.models import mimo as mm
+from beamforming_lk_tpu.models import miso as ms
+from beamforming_lk_tpu.models import tracker as tk
+from beamforming_lk_tpu.ops import antenna as ant
+from beamforming_lk_tpu.ops import delay as dl
+from beamforming_lk_tpu.parallel.mesh import CH_AXIS, DIR_AXIS
+
+
+class AwpuState(NamedTuple):
+    """Carried device state for one array's processing pipeline."""
+
+    history: jnp.ndarray        # [C, H] ring history (sharded over ch)
+    swarm: tk.SwarmState        # gradient tracker swarm (replicated)
+    miso: ms.MisoState          # steered listener (replicated)
+    prev_max: jnp.ndarray       # [] heatmap running-max EMA (mimo.cpp:75-76)
+    block_index: jnp.ndarray    # [] int32 block counter
+
+
+class AwpuOutputs(NamedTuple):
+    powers: jnp.ndarray         # [D] heatmap powers (sharded over dir)
+    targets: tk.Targets         # published tracker targets
+    miso_beam: jnp.ndarray      # [T] beamformed audio block
+    prev_max: jnp.ndarray       # [] EMA'd heatmap max (for rendering)
+
+
+def make_awpu_step(
+    points,
+    cfg: Config,
+    channel_mask=None,
+    mesh: Optional[Mesh] = None,
+    enable_mimo: bool = True,
+    enable_tracker: bool = True,
+    enable_miso: bool = True,
+):
+    """Build the fused jitted per-block step: (state, block) -> (state, out).
+
+    ``mesh`` None runs single-device.  With a mesh, the step is shard_mapped:
+    ``history``/``block`` sharded ``P(ch, None)``, heatmap weights
+    ``P(dir, ch, None)``, powers out ``P(dir)``; everything else replicated.
+    C must divide the ``ch`` mesh size and D the ``dir`` size.
+    """
+    points_np = np.asarray(points, np.float32)
+    c = points_np.shape[1]
+    mask_np = (
+        None if channel_mask is None else np.asarray(channel_mask, np.float32)
+    )
+    n_active = float(mask_np.sum()) if mask_np is not None else float(c)
+
+    dsp, arr = cfg.dsp, cfg.array
+    taps = dl.LINEAR_TAPS if dsp.interp == "linear" else dsp.fir_taps
+    fir_bank = (
+        None
+        if dsp.interp == "linear"
+        else dl.fractional_delay_fir_bank(dsp.fir_phases, dsp.fir_taps)
+    )
+
+    # Heatmap stencil (the computeDelayLUT analog) — built WITHOUT the mask
+    # folded in so the mask can stay a sharded runtime operand.
+    theta, phi = mm.make_mimo_grid(cfg.mimo)
+    delays = ant.steering_delays(points_np, theta, phi, arr.samples_per_meter)
+    mimo_weights = dl.das_weights(delays, dsp.shift_range, dsp.interp, fir_bank)
+
+    axis_name = CH_AXIS if (mesh is not None and CH_AXIS in mesh.axis_names) else None
+    swarm_impl = tk.make_swarm_step_impl(
+        cfg.tracker, dsp, arr, fir_bank, axis_name=axis_name
+    )
+    miso_impl = ms.make_miso_step_impl(
+        cfg.tracker, dsp, arr, fir_bank, axis_name=axis_name
+    )
+
+    d_total = cfg.mimo.n_directions
+    t_len = dsp.block_size
+    nt = cfg.tracker.n_trackers
+
+    def _step(state: AwpuState, block, pts, mask, mimo_w):
+        history = rg.ring_push(state.history, block)
+        window = rg.ring_window(history, t_len, dsp.shift_range, taps)
+
+        # --- MIMO heatmap worker (mimo.cpp:97-151)
+        if enable_mimo:
+            w = mimo_w if mask is None else mimo_w * mask[:, None]
+            beam = dl.das_beam(window, w, axis_name=axis_name)
+            tb = beam.shape[-1]
+            powers = dl.das_power(
+                beam, use_bandpass=dsp.use_bandpass, divisor=tb * n_active
+            )
+            local_max = jnp.max(powers)
+            if axis_name is not None and mesh is not None and DIR_AXIS in mesh.axis_names:
+                global_max = jax.lax.pmax(local_max, DIR_AXIS)
+            else:
+                global_max = local_max
+            prev_max = (
+                global_max * cfg.mimo.ema_alpha
+                + (1.0 - cfg.mimo.ema_alpha) * state.prev_max
+            )
+        else:
+            powers = jnp.zeros(
+                (mimo_w.shape[0],), jnp.float32
+            )
+            prev_max = state.prev_max
+
+        # --- GRADIENT tracker worker (gradient_ascend.cpp:301-409)
+        if enable_tracker:
+            swarm, targets = swarm_impl(
+                state.swarm, window, state.block_index, pts, mask
+            )
+        else:
+            swarm = state.swarm
+            z = jnp.zeros((nt,), jnp.float32)
+            targets = tk.Targets(z, z, z, z, z, jnp.zeros((nt,), bool))
+
+        # --- MISO listener worker (miso.cpp:25-55)
+        if enable_miso:
+            miso, miso_beam = miso_impl(state.miso, window, pts, mask)
+        else:
+            miso = state.miso
+            miso_beam = jnp.zeros((t_len,), jnp.float32)
+
+        new_state = AwpuState(
+            history=history,
+            swarm=swarm,
+            miso=miso,
+            prev_max=prev_max,
+            block_index=state.block_index + 1,
+        )
+        return new_state, AwpuOutputs(powers, targets, miso_beam, prev_max)
+
+    if mesh is None:
+        pts_dev = jnp.asarray(points_np)
+        mask_dev = None if mask_np is None else jnp.asarray(mask_np)
+        w_dev = jax.device_put(mimo_weights)
+        # The heatmap stencil is large (D*C*S floats); it must be a runtime
+        # argument — a closed-over concrete array would be baked into the
+        # compiled program as a literal constant.
+        jitted = jax.jit(_step)
+
+        def step(state, block):
+            return jitted(state, block, pts_dev, mask_dev, w_dev)
+
+        return step
+
+    # --- Sharded build: the array model becomes shard_map operands.
+    ch = CH_AXIS if CH_AXIS in mesh.axis_names else None
+    dr = DIR_AXIS if DIR_AXIS in mesh.axis_names else None
+    state_specs = AwpuState(
+        history=P(ch, None),
+        swarm=jax.tree.map(lambda _: P(), tk.swarm_init(cfg.tracker, jax.random.key(0))),
+        miso=jax.tree.map(lambda _: P(), ms.miso_init()),
+        prev_max=P(),
+        block_index=P(),
+    )
+    out_specs = AwpuOutputs(
+        powers=P(dr),
+        targets=jax.tree.map(
+            lambda _: P(),
+            tk.Targets(*([0] * 6)),
+        ),
+        miso_beam=P(),
+        prev_max=P(),
+    )
+    mask_spec = () if mask_np is None else (P(ch),)
+    mask_args = () if mask_np is None else (
+        jax.device_put(jnp.asarray(mask_np), NamedSharding(mesh, P(ch))),
+    )
+
+    def _sharded(state, block, pts, mimo_w, *mask_arg):
+        m = mask_arg[0] if mask_arg else None
+        return _step(state, block, pts, m, mimo_w)
+
+    sharded = jax.shard_map(
+        _sharded,
+        mesh=mesh,
+        in_specs=(state_specs, P(ch, None), P(None, ch), P(dr, ch, None))
+        + mask_spec,
+        out_specs=(state_specs, out_specs),
+    )
+    pts_dev = jax.device_put(
+        jnp.asarray(points_np), NamedSharding(mesh, P(None, ch))
+    )
+    w_dev = jax.device_put(
+        jnp.asarray(mimo_weights), NamedSharding(mesh, P(dr, ch, None))
+    )
+    jitted = jax.jit(sharded)
+
+    def step(state, block):
+        return jitted(state, block, pts_dev, w_dev, *mask_args)
+
+    return step
+
+
+def awpu_init(
+    cfg: Config,
+    channels: int,
+    mesh: Optional[Mesh] = None,
+    seed: int = 0,
+) -> AwpuState:
+    """Fresh carried state (ring empty, swarm randomized, MISO at boresight)."""
+    history = rg.ring_init(channels, cfg.dsp.history)
+    if mesh is not None:
+        ch = CH_AXIS if CH_AXIS in mesh.axis_names else None
+        history = jax.device_put(history, NamedSharding(mesh, P(ch, None)))
+    return AwpuState(
+        history=history,
+        swarm=tk.swarm_init(cfg.tracker, jax.random.key(seed)),
+        miso=ms.miso_init(),
+        prev_max=jnp.zeros((), jnp.float32),
+        block_index=jnp.zeros((), jnp.int32),
+    )
+
+
+class AwpuPipeline:
+    """Host-side orchestrator for one array link — the ``AWProcessingUnit``
+    equivalent (``src/aw_processing_unit/aw_processing_unit.h:26-151``).
+
+    Owns the fused step, carried state, and block feeding; exposes the same
+    surface: ``process_block``, ``steer``, ``targets``, ``heatmap``.
+    """
+
+    def __init__(
+        self,
+        cfg: Config,
+        points=None,
+        channel_mask=None,
+        mesh: Optional[Mesh] = None,
+        seed: int = 0,
+        enable_mimo: bool = True,
+        enable_tracker: bool = True,
+        enable_miso: bool = True,
+    ):
+        self.cfg = cfg
+        if points is None:
+            points = ant.create_antenna_grid(
+                cfg.array.columns, cfg.array.rows, cfg.array.distance
+            )
+        self.points = np.asarray(points, np.float32)
+        self.mesh = mesh
+        self.channel_mask = channel_mask
+        self.step = make_awpu_step(
+            self.points,
+            cfg,
+            channel_mask=channel_mask,
+            mesh=mesh,
+            enable_mimo=enable_mimo,
+            enable_tracker=enable_tracker,
+            enable_miso=enable_miso,
+        )
+        self.state = awpu_init(cfg, self.points.shape[1], mesh=mesh, seed=seed)
+        self.last: Optional[AwpuOutputs] = None
+        if mesh is not None:
+            ch = CH_AXIS if CH_AXIS in mesh.axis_names else None
+            self._block_sharding = NamedSharding(mesh, P(ch, None))
+        else:
+            self._block_sharding = None
+
+    def process_block(self, block) -> AwpuOutputs:
+        """Feed one [C, T] sample block through the fused step."""
+        block = jnp.asarray(block, jnp.float32)
+        if self._block_sharding is not None:
+            block = jax.device_put(block, self._block_sharding)
+        self.state, self.last = self.step(self.state, block)
+        return self.last
+
+    def steer(self, theta: float, phi: float) -> None:
+        """Pin the MISO listener (click-to-steer; aw_processing_unit.cpp:261-265)."""
+        self.state = self.state._replace(
+            miso=ms.miso_steer(self.state.miso, theta, phi)
+        )
+
+    def targets(self):
+        """Last published target list as host values
+        (worker.h:136-142 snapshot semantics)."""
+        if self.last is None:
+            return []
+        from beamforming_lk_tpu.models.targets import targets_to_list
+
+        return targets_to_list(self.last.targets)
+
+    def heatmap(self):
+        """Render the last powers to a uint8 [rows, cols] image."""
+        if self.last is None:
+            return np.zeros((self.cfg.mimo.rows, self.cfg.mimo.columns), np.uint8)
+        img, _ = mm.render_heatmap(
+            self.last.powers,
+            self.cfg.mimo.rows,
+            self.cfg.mimo.columns,
+            self.state.prev_max,
+            ema_alpha=1.0,  # prev_max already EMA'd inside the step
+            use_db=self.cfg.mimo.use_db,
+        )
+        return np.asarray(img)

@@ -52,44 +52,38 @@ def miso_steer(state: MisoState, theta, phi) -> MisoState:
     )
 
 
-def make_miso_step(
-    points,
+def make_miso_step_impl(
     cfg: TrackerConfig,
     dsp: DspConfig,
     array_cfg: ArrayConfig,
-    channel_mask=None,
     fir_bank=None,
     refine_steps: int = 3,
+    axis_name=None,
 ):
-    """Build the jitted per-block MISO update.
+    """Build the *unjitted* per-block MISO update with the array model as
+    runtime operands (see :func:`make_swarm_step_impl` for the sharding
+    contract).
 
-    Returns ``step(state, window) -> (state, beam[T])``: 3 tracker steps at
-    rate/10 (miso.cpp:39-40), then the DAS beam for the refined direction.
+    Returns ``step(state, window, points, channel_mask) -> (state, beam[T])``.
     """
-    points = jnp.asarray(points, jnp.float32)
-    mask = None if channel_mask is None else jnp.asarray(channel_mask, jnp.float32)
     if dsp.interp == "fir" and fir_bank is None:
         fir_bank = dl.fractional_delay_fir_bank(dsp.fir_phases, dsp.fir_taps)
     bank = None if dsp.interp == "linear" else jnp.asarray(fir_bank)
-    taps = dl.LINEAR_TAPS if dsp.interp == "linear" else dsp.fir_taps
 
-    mono = functools.partial(
+    base_mono = functools.partial(
         _monopulse_step,
-        points=points,
-        channel_mask=mask,
         theta_limit=cfg.theta_limit,
         shift_range=dsp.shift_range,
         mode=dsp.interp,
         fir_bank=bank,
         samples_per_meter=array_cfg.samples_per_meter,
+        axis_name=axis_name,
     )
 
-    @jax.jit
-    def step(state: MisoState, window):
-        b0 = dsp.shift_range - taps
-        raw = jax.lax.dynamic_slice_in_dim(window[0], b0, dsp.block_size)
-        reference = dl.das_power(raw, use_bandpass=True, divisor=dsp.block_size - 2)
-
+    def step(state: MisoState, window, points, channel_mask):
+        mono = functools.partial(
+            base_mono, points=points, channel_mask=channel_mask
+        )
         particle = state.particle
         active = jnp.ones((1,), bool)
         for _ in range(refine_steps):
@@ -102,12 +96,43 @@ def make_miso_step(
             )
 
         delays = ant.steering_delays(
-            points, particle.theta, particle.phi, array_cfg.samples_per_meter
+            points,
+            particle.theta,
+            particle.phi,
+            array_cfg.samples_per_meter,
+            axis_name=axis_name,
         )  # [1, C]
         w = dl.das_weights(delays, dsp.shift_range, dsp.interp, bank)
-        if mask is not None:
-            w = w * mask[..., :, None]
-        beam = dl.das_beam(window, w)[0]                   # [T]
+        if channel_mask is not None:
+            w = w * channel_mask[..., :, None]
+        beam = dl.das_beam(window, w, axis_name=axis_name)[0]   # [T]
         return MisoState(particle=particle, tracking=state.tracking), beam
+
+    return step
+
+
+def make_miso_step(
+    points,
+    cfg: TrackerConfig,
+    dsp: DspConfig,
+    array_cfg: ArrayConfig,
+    channel_mask=None,
+    fir_bank=None,
+    refine_steps: int = 3,
+):
+    """Build the jitted single-device per-block MISO update.
+
+    Returns ``step(state, window) -> (state, beam[T])``: 3 tracker steps at
+    rate/10 (miso.cpp:39-40), then the DAS beam for the refined direction.
+    """
+    impl = make_miso_step_impl(
+        cfg, dsp, array_cfg, fir_bank, refine_steps=refine_steps
+    )
+    points = jnp.asarray(points, jnp.float32)
+    mask = None if channel_mask is None else jnp.asarray(channel_mask, jnp.float32)
+
+    @jax.jit
+    def step(state: MisoState, window):
+        return impl(state, window, points, mask)
 
     return step

@@ -130,21 +130,28 @@ def _monopulse_step(
     mode: str,
     fir_bank,
     samples_per_meter: float,
+    axis_name=None,
 ):
     """One batched GradientParticle::step (gradient_ascend.cpp:30-81).
 
-    Inactive particles pass through unchanged.
+    Inactive particles pass through unchanged.  With ``axis_name`` set the
+    channel axis of ``points``/``channel_mask``/``window`` is a mesh shard:
+    the min-subtract and the beam accumulate become collectives, and the
+    monopulse powers (computed from the psum'd beam) are identical on every
+    shard.
     """
     theta, phi = particles.theta, particles.phi
     pt, pp, adj_theta = quadrant_probes(theta, phi, spread)
     pt, pp = normalize_spherical(pt, pp, theta_limit)      # particle.h:24-27
     theta = adj_theta  # quadrant() nudges theta near the FoV edge
 
-    delays = ant.steering_delays(points, pt, pp, samples_per_meter)  # [P,4,C]
+    delays = ant.steering_delays(
+        points, pt, pp, samples_per_meter, axis_name=axis_name
+    )  # [P,4,C]
     w = dl.das_weights(delays, shift_range, mode, fir_bank)
     if channel_mask is not None:
         w = w * channel_mask[..., :, None]
-    beams = dl.das_beam(window, w)                         # [P, 4, T]
+    beams = dl.das_beam(window, w, axis_name=axis_name)    # [P, 4, T]
     t = beams.shape[-1]
     powers = dl.das_power(beams, use_bandpass=True, divisor=t)  # [P, 4]
 
@@ -205,49 +212,55 @@ def _merge_trackers(trackers: Particles, tracking, start, closeness: float):
     return tracking & ~stop
 
 
-def make_swarm_step(
-    points,
+def make_swarm_step_impl(
     cfg: TrackerConfig,
     dsp: DspConfig,
     array_cfg: ArrayConfig,
-    channel_mask=None,
     fir_bank=None,
+    axis_name=None,
 ):
-    """Build the jitted per-block swarm update.
+    """Build the *unjitted* per-block swarm update with the array model as
+    runtime operands.
 
-    Returns ``step(state, window, block_index) -> (state, Targets)`` where
-    ``window`` is the DAS window from :func:`ring_window` and ``block_index``
-    an int32 block counter (the clock for tracker ages / seeker resets).
+    Returns ``step(state, window, block_index, points, channel_mask) ->
+    (state, Targets)``.  Passing ``points``/``channel_mask``/``window`` as
+    arguments (rather than closure constants) lets the same function run
+    inside ``shard_map`` with the channel axis sharded over mesh axis
+    ``axis_name`` — the whole swarm update is then one SPMD program whose
+    only communication is the psum'd probe beams.
     """
-    points = jnp.asarray(points, jnp.float32)
-    mask = None if channel_mask is None else jnp.asarray(channel_mask, jnp.float32)
     if dsp.interp == "fir" and fir_bank is None:
         fir_bank = dl.fractional_delay_fir_bank(dsp.fir_phases, dsp.fir_taps)
     bank = None if dsp.interp == "linear" else jnp.asarray(fir_bank)
     taps = dl.LINEAR_TAPS if dsp.interp == "linear" else dsp.fir_taps
     spm = array_cfg.samples_per_meter
 
-    mono = functools.partial(
+    base_mono = functools.partial(
         _monopulse_step,
-        points=points,
-        channel_mask=mask,
         theta_limit=cfg.theta_limit,
         shift_range=dsp.shift_range,
         mode=dsp.interp,
         fir_bank=bank,
         samples_per_meter=spm,
+        axis_name=axis_name,
     )
 
     t_len = dsp.block_size
 
-    @jax.jit
-    def step(state: SwarmState, window, block_index):
+    def step(state: SwarmState, window, block_index, points, channel_mask):
+        mono = functools.partial(
+            base_mono, points=points, channel_mask=channel_mask
+        )
         # --- Reference power: bandpass power of channel 0's raw block
         # (gradient_ascend.cpp:304-313). The beamformed block sits at window
-        # offset (S - taps).
+        # offset (S - taps).  Under channel sharding, global channel 0 lives
+        # on shard 0 only — select it with a masked psum.
         b0 = dsp.shift_range - taps
         raw = jax.lax.dynamic_slice_in_dim(window[0], b0, t_len)
         reference = dl.das_power(raw, use_bandpass=True, divisor=t_len - 2)
+        if axis_name is not None:
+            on_shard0 = (jax.lax.axis_index(axis_name) == 0).astype(reference.dtype)
+            reference = jax.lax.psum(reference * on_shard0, axis_name)
 
         # --- Seeker reset every seeker_reset_interval blocks
         # (gradient_ascend.cpp:295-299).
@@ -369,5 +382,30 @@ def make_swarm_step(
             target_valid=tracking,
         )
         return new_state, targets
+
+    return step
+
+
+def make_swarm_step(
+    points,
+    cfg: TrackerConfig,
+    dsp: DspConfig,
+    array_cfg: ArrayConfig,
+    channel_mask=None,
+    fir_bank=None,
+):
+    """Build the jitted single-device per-block swarm update.
+
+    Returns ``step(state, window, block_index) -> (state, Targets)`` where
+    ``window`` is the DAS window from :func:`ring_window` and ``block_index``
+    an int32 block counter (the clock for tracker ages / seeker resets).
+    """
+    impl = make_swarm_step_impl(cfg, dsp, array_cfg, fir_bank)
+    points = jnp.asarray(points, jnp.float32)
+    mask = None if channel_mask is None else jnp.asarray(channel_mask, jnp.float32)
+
+    @jax.jit
+    def step(state: SwarmState, window, block_index):
+        return impl(state, window, block_index, points, mask)
 
     return step

@@ -13,6 +13,7 @@ direction (antenna.cpp:89-97).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -95,12 +96,16 @@ def steer_points(points, theta, phi):
     return rot @ jnp.asarray(points)
 
 
-def steering_delays(points, theta, phi, samples_per_meter):
+def steering_delays(points, theta, phi, samples_per_meter, axis_name=None):
     """Steering delays in samples for a batch of directions.
 
     points [3, N]; theta/phi [...] -> delays [..., N], min-subtracted per
     direction so the element nearest the source has zero delay
     (reference: antenna.cpp:89-97 + 126-134).
+
+    ``axis_name``: when the channel axis N is sharded over a mesh axis
+    (inside ``shard_map``), the min must be global — it is reduced with
+    ``lax.pmin`` so every shard subtracts the same reference delay.
     """
     theta = jnp.asarray(theta, jnp.float32)
     phi = jnp.asarray(phi, jnp.float32)
@@ -108,7 +113,10 @@ def steering_delays(points, theta, phi, samples_per_meter):
     u = jnp.stack([st * jnp.cos(phi), -st * jnp.sin(phi), jnp.cos(theta)], axis=-1)
     z = u @ jnp.asarray(points, jnp.float32)  # [..., N]
     delays = z * jnp.float32(samples_per_meter)
-    return delays - jnp.min(delays, axis=-1, keepdims=True)
+    mins = jnp.min(delays, axis=-1, keepdims=True)
+    if axis_name is not None:
+        mins = jax.lax.pmin(mins, axis_name)
+    return delays - mins
 
 
 def steering_delays_horizontal(points, azimuth, elevation, samples_per_meter):

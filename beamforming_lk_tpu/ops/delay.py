@@ -129,19 +129,27 @@ def unfold_window(window, shift_range: int, block_size: int):
     return jnp.stack(slices, axis=-2)
 
 
-def das_beam(window, weights, *, precision=jax.lax.Precision.HIGHEST):
+def das_beam(window, weights, *, precision=jax.lax.Precision.HIGHEST,
+             axis_name=None):
     """beam[..., D, T] = W[..., D, C, S] contracted with unfolded window.
 
     window: [C, T + S]; weights: [..., D, C, S].
     One [D, C*S] @ [C*S, T] matmul — MXU-bound.
+
+    ``axis_name``: when C is a shard of the channel axis (inside
+    ``shard_map``), the partial beams are ``psum``-reduced over that mesh
+    axis so the result is the full-array beam on every shard.
     """
     c, tw = window.shape[-2], window.shape[-1]
     s = weights.shape[-1]
     t = tw - s
     unf = unfold_window(window, s, t)                   # [C, S, T]
-    return jnp.einsum(
+    beam = jnp.einsum(
         "...dcs,cst->...dt", weights, unf, precision=precision
     )
+    if axis_name is not None:
+        beam = jax.lax.psum(beam, axis_name)
+    return beam
 
 
 def bandpass_ma(beam):

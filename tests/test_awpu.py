@@ -1,0 +1,105 @@
+"""The fused AWPU step must produce identical results single-device and
+shard_mapped over a (ch=2, dir=4) mesh — heatmap powers, tracker targets and
+the MISO beam all at once (the multi-chip program IS the single-chip
+program)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from beamforming_lk_tpu.app import AwpuPipeline, awpu_init, make_awpu_step
+from beamforming_lk_tpu.config import Config, DspConfig, MimoConfig, TrackerConfig
+from beamforming_lk_tpu.io.synthetic import plane_wave_block
+from beamforming_lk_tpu.ops import antenna as ant
+from beamforming_lk_tpu.ops.geometry import spherical_angle
+from beamforming_lk_tpu.parallel import mesh as pm
+
+CFG = Config(
+    mimo=MimoConfig(rows=16, columns=16),
+    tracker=TrackerConfig(iterations=2),
+)
+SRC = (0.5, 2.0, 5000.0)
+
+
+def _blocks(points, n):
+    return [
+        plane_wave_block(
+            points, [SRC], b * CFG.dsp.block_size, CFG.dsp.block_size,
+            CFG.array, noise_std=0.02,
+        )
+        for b in range(n)
+    ]
+
+
+def test_fused_step_sharded_matches_dense():
+    points = ant.create_antenna_grid()
+    mask = np.ones(points.shape[1], np.float32)
+    mask[13] = 0.0  # one dead mic, as calibration would produce
+    blocks = _blocks(points, 3)
+
+    dense_step = make_awpu_step(points, CFG, channel_mask=mask)
+    dense_state = awpu_init(CFG, points.shape[1], seed=3)
+
+    mesh = pm.make_mesh((2, 4))
+    sh_step = make_awpu_step(points, CFG, channel_mask=mask, mesh=mesh)
+    sh_state = awpu_init(CFG, points.shape[1], mesh=mesh, seed=3)
+
+    for blk in blocks:
+        blk = jnp.asarray(blk)
+        dense_state, dense_out = dense_step(dense_state, blk)
+        sh_state, sh_out = sh_step(sh_state, blk)
+
+    np.testing.assert_allclose(
+        np.asarray(sh_out.powers), np.asarray(dense_out.powers),
+        rtol=2e-4, atol=1e-14,
+    )
+    # psum reduction order differs from the dense sum; the tiny float
+    # difference compounds through the 3 monopulse refinement steps, so the
+    # bound is absolute against the beam's ~0.06 amplitude.
+    np.testing.assert_allclose(
+        np.asarray(sh_out.miso_beam), np.asarray(dense_out.miso_beam),
+        rtol=2e-3, atol=2e-5,
+    )
+    assert np.array_equal(
+        np.asarray(sh_out.targets.valid), np.asarray(dense_out.targets.valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_out.targets.theta), np.asarray(dense_out.targets.theta),
+        rtol=1e-3, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sh_state.history), np.asarray(dense_state.history),
+        rtol=0, atol=0,
+    )
+
+
+def test_pipeline_finds_source():
+    cfg = Config(
+        mimo=MimoConfig(rows=16, columns=16),
+        tracker=TrackerConfig(iterations=4),
+    )
+    pipe = AwpuPipeline(cfg, seed=0)
+    for blk in _blocks(pipe.points, 8):
+        out = pipe.process_block(blk)
+
+    # Heatmap argmax near the true source.
+    from beamforming_lk_tpu.models.mimo import make_mimo_grid
+
+    theta, phi = make_mimo_grid(cfg.mimo)
+    d = int(np.argmax(np.asarray(out.powers)))
+    assert float(spherical_angle(theta[d], phi[d], SRC[0], SRC[1])) < np.radians(12)
+
+    img = pipe.heatmap()
+    assert img.shape == (16, 16) and img.max() == 255
+
+    # Tracker publishes at least one target near the source.
+    tgts = pipe.targets()
+    assert any(
+        float(spherical_angle(t["theta"], t["phi"], SRC[0], SRC[1])) < np.radians(10)
+        for t in tgts
+    ), tgts
+
+    # Click-to-steer re-pins MISO.
+    pipe.steer(SRC[0], SRC[1])
+    out = pipe.process_block(_blocks(pipe.points, 9)[-1])
+    assert np.asarray(out.miso_beam).shape == (cfg.dsp.block_size,)
