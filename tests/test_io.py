@@ -1,0 +1,159 @@
+"""Ingest stack: wire-format round trips, pcap replay, UDP loopback (pure
+Python and native C shim), WAV recording.
+
+The column-flip demux and int24 normalization are checked against a direct
+transcription of the reference's scalar loop (pipeline.cpp:277-291)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from beamforming_lk_tpu.io import packets as pk
+from beamforming_lk_tpu.io import pcap as pc
+from beamforming_lk_tpu.io import udp
+from beamforming_lk_tpu.io.wav import WavWriter, read_wav
+
+
+def reference_demux(stream_row, n_sensors, columns=8):
+    """Scalar transcription of pipeline.cpp:277-291 for one sample."""
+    out = np.zeros(n_sensors, np.float32)
+    inverted = 0
+    for s in range(n_sensors):
+        if s % columns == 0:
+            inverted = not inverted
+        if inverted:
+            index = columns * (1 + s // columns) - 1 - s % columns
+        else:
+            index = s
+        out[s] = np.float32(stream_row[index]) / np.float32(2**23)
+    return out
+
+
+def test_column_flip_matches_reference_loop():
+    rng = np.random.default_rng(0)
+    for c in (64, 128, 256):
+        stream = rng.integers(-(2**23), 2**23, size=c).astype(np.int64)
+        want = reference_demux(stream, c)
+        m = pk.column_flip_map(c)
+        got = stream[m].astype(np.float32) / np.float32(2**23)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_packet_round_trip():
+    rng = np.random.default_rng(1)
+    block = (rng.integers(-(2**23), 2**23, size=(64, 32)) / 2**23).astype(
+        np.float32
+    )
+    wire = pk.build_packets(block, start_counter=7)
+    assert len(wire) == 32 * pk.PACKET_SIZE
+    freq, n_arrays, version, counter = pk.parse_header(wire[: pk.PACKET_SIZE])
+    assert (freq, n_arrays, counter) == (48828, 1, 7)
+    out, counters = pk.parse_packets(
+        np.frombuffer(wire, np.uint8), n_sensors=64
+    )
+    np.testing.assert_allclose(out, block, atol=1.0 / 2**23)
+    np.testing.assert_array_equal(counters, np.arange(7, 39))
+
+
+def test_pcap_replay_round_trip(tmp_path):
+    rng = np.random.default_rng(2)
+    blocks = [
+        (rng.integers(-(2**20), 2**20, size=(64, 64)) / 2**23).astype(np.float32)
+        for _ in range(3)
+    ]
+    wire = b"".join(
+        pk.build_packets(b, start_counter=i * 64) for i, b in enumerate(blocks)
+    )
+    payloads = [
+        wire[i * pk.PACKET_SIZE : (i + 1) * pk.PACKET_SIZE]
+        for i in range(len(wire) // pk.PACKET_SIZE)
+    ]
+    path = str(tmp_path / "capture.pcap")
+    pc.write_pcap(path, payloads, dst_port=21844)
+    got = list(pc.replay_blocks(path, n_sensors=64, block_size=64, port=21844))
+    assert len(got) == 3
+    for g, b in zip(got, blocks):
+        np.testing.assert_allclose(g, b, atol=1.0 / 2**23)
+    # Port filter drops everything on the wrong port.
+    assert list(pc.replay_blocks(path, 64, 64, port=9)) == []
+
+
+def test_udp_loopback_python():
+    sock = udp.open_receiver("127.0.0.1", 0, timeout=5.0)
+    port = sock.getsockname()[1]
+    rng = np.random.default_rng(3)
+    blocks = [
+        (rng.integers(-(2**20), 2**20, size=(64, 16)) / 2**23).astype(np.float32)
+        for _ in range(2)
+    ]
+    sender = threading.Thread(
+        target=udp.send_blocks, args=(blocks, "127.0.0.1", port)
+    )
+    sender.start()
+    n_sensors, freq = None, None
+    # handshake consumes packet 0; receive the rest.
+    first = sock.recv(pk.PACKET_SIZE)
+    freq, n_arrays, _, _ = pk.parse_header(first)
+    assert n_arrays * 64 == 64 and freq == 48828
+    stream = udp.receive_blocks(sock, n_sensors=64, block_size=16)
+    got = next(stream)
+    sender.join()
+    sock.close()
+    # We lost sample 0 to the handshake, so the received block spans
+    # samples 1..16 — just check shape/dtype and that values come from the
+    # sent set.
+    assert got.shape == (64, 16) and got.dtype == np.float32
+    sent = np.concatenate([b.ravel() for b in blocks])
+    assert np.isin(np.round(got.ravel() * 2**23), np.round(sent * 2**23)).mean() > 0.9
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "beamforming_lk_tpu.io.native", fromlist=["load_ingest_library"]
+    ).load_ingest_library(),
+    reason="no C toolchain to build libingest.so",
+)
+def test_native_ingest_loopback():
+    from beamforming_lk_tpu.io.native import NativeIngest
+
+    rng = np.random.default_rng(4)
+    blocks = [
+        (rng.integers(-(2**20), 2**20, size=(64, 32)) / 2**23).astype(np.float32)
+        for _ in range(4)
+    ]
+    with NativeIngest("127.0.0.1", 0, n_sensors=64, block_size=32) as ingest:
+        port = ingest.port
+        assert port > 0
+        udp.send_blocks(blocks, "127.0.0.1", port)
+        got = []
+        for seq, block in ingest.blocks(timeout=2.0):
+            got.append((seq, block))
+            if len(got) == 4:
+                break
+        stats = ingest.stats()
+    assert [s for s, _ in got] == [0, 1, 2, 3]
+    for (_, g), b in zip(got, blocks):
+        np.testing.assert_allclose(g, b, atol=1.0 / 2**23)
+    assert stats["packets_received"] == 128
+    assert stats["blocks_dropped"] == 0
+    assert stats["counter_gaps"] == 0
+
+
+def test_wav_round_trip(tmp_path):
+    path = str(tmp_path / "out.wav")
+    t = np.arange(48828, dtype=np.float32) / 48828.0
+    signal = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    with WavWriter(path, channels=1, bits=24) as w:
+        for i in range(0, len(signal), 256):
+            w.write(signal[i : i + 256])
+    data, rate = read_wav(path)
+    assert rate == 48828 and data.shape[0] == 1
+    np.testing.assert_allclose(data[0], signal, atol=2.0 / 2**23)
+
+    # 16-bit path too.
+    path16 = str(tmp_path / "out16.wav")
+    with WavWriter(path16, channels=1, bits=16) as w:
+        w.write(signal)
+    data16, _ = read_wav(path16)
+    np.testing.assert_allclose(data16[0], signal, atol=2.0 / 32767.0)
