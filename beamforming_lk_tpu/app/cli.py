@@ -1,0 +1,192 @@
+"""CLI entry point — ``python -m beamforming_lk_tpu.app.cli``.
+
+Mirrors the reference's flag surface (``src/main.cpp:19-97``: ``--mimo
+--mimo-res --tracking --miso --fov --fps --port --ip-address --wara-ps
+--verbose ...``) plus the source selection the reference splits across
+binaries and udpreplay: ``--source synthetic|pcap|udp|native``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="beamforming_lk_tpu",
+        description="TPU-native acoustic-array beamformer",
+    )
+    # Reference flags (src/main.cpp:19-97)
+    p.add_argument("--mimo", action="store_true", help="enable MIMO heatmap")
+    p.add_argument("--mimo-res", type=int, default=64, help="heatmap grid size")
+    p.add_argument("--tracking", action="store_true", help="enable gradient tracker")
+    p.add_argument("--miso", action="store_true", help="enable steered listening")
+    p.add_argument("--fov", type=float, default=180.0, help="field of view [deg]")
+    p.add_argument("--fps", action="store_true", help="print FPS/latency metrics")
+    p.add_argument(
+        "--port", type=int, action="append", default=None,
+        help="UDP port per FPGA link (repeatable)",
+    )
+    p.add_argument("--ip-address", default="0.0.0.0")
+    p.add_argument("--wara-ps", action="store_true", help="publish best track")
+    p.add_argument("--verbose", action="store_true")
+    # Source selection (replaces the synthetic ctor + udpreplay workflow)
+    p.add_argument(
+        "--source", choices=["synthetic", "pcap", "udp", "native"],
+        default="synthetic",
+    )
+    p.add_argument("--pcap", default=None, help="capture file for --source pcap")
+    p.add_argument("--blocks", type=int, default=256, help="blocks to process (0=endless)")
+    p.add_argument("--arrays", type=int, default=1, help="number of array links")
+    p.add_argument("--channels", type=int, default=64, help="mics per link")
+    p.add_argument(
+        "--synthetic-source", nargs=3, type=float, action="append", default=None,
+        metavar=("THETA_DEG", "PHI_DEG", "FREQ_HZ"),
+        help="synthetic plane-wave source (repeatable)",
+    )
+    p.add_argument("--noise", type=float, default=0.02, help="synthetic noise std")
+    # Output
+    p.add_argument("--output-dir", default=None, help="PNG frame directory")
+    p.add_argument("--render-every", type=int, default=8)
+    p.add_argument("--miso-wav", default=None, help="record MISO beam to WAV")
+    p.add_argument("--steer", nargs=2, type=float, default=None,
+                   metavar=("THETA_DEG", "PHI_DEG"), help="pin MISO direction")
+    p.add_argument("--colormap", choices=["jet", "ocean"], default="jet")
+    p.add_argument("--blur", type=float, default=0.0, help="gaussian blur sigma")
+    p.add_argument("--telemetry-file", default=None,
+                   help="NDJSON sink when MQTT is unavailable")
+    p.add_argument("--gps", nargs=3, type=float, default=(57.76, 16.68, 0.0),
+                   metavar=("LAT", "LON", "ALT"))
+    return p
+
+
+def make_sources(args, cfg, pipelines):
+    """One block iterator per array link."""
+    from beamforming_lk_tpu.io import pcap as pc
+    from beamforming_lk_tpu.io.synthetic import synthetic_blocks
+
+    n_blocks = args.blocks if args.blocks > 0 else 10**9
+    if args.source == "synthetic":
+        srcs = args.synthetic_source or [[20.0, 45.0, 5000.0]]
+        parsed = [
+            (math.radians(s[0]), math.radians(s[1]), s[2]) for s in srcs
+        ]
+        return [
+            synthetic_blocks(
+                pipe.points, parsed, n_blocks, cfg.dsp.block_size, cfg.array,
+                noise_std=args.noise, seed=i,
+            )
+            for i, pipe in enumerate(pipelines)
+        ]
+    if args.source == "pcap":
+        if not args.pcap:
+            raise SystemExit("--source pcap requires --pcap FILE")
+        ports = args.port or [None] * len(pipelines)
+        return [
+            pc.replay_blocks(
+                args.pcap, args.channels, cfg.dsp.block_size, port=ports[i]
+            )
+            for i in range(len(pipelines))
+        ]
+    ports = args.port or [21844 + i for i in range(len(pipelines))]
+    if args.source == "udp":
+        from beamforming_lk_tpu.io import udp
+
+        def udp_source(port):
+            sock = udp.open_receiver(args.ip_address, port, timeout=5.0)
+            n_sensors, _ = udp.handshake(sock)
+            yield from udp.receive_blocks(sock, n_sensors, cfg.dsp.block_size)
+
+        return [udp_source(p) for p in ports]
+    # native
+    from beamforming_lk_tpu.io.native import NativeIngest
+
+    def native_source(port):
+        with NativeIngest(
+            args.ip_address, port, args.channels, cfg.dsp.block_size
+        ) as ingest:
+            for _seq, block in ingest.blocks(timeout=5.0):
+                yield block
+
+    return [native_source(p) for p in ports]
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from beamforming_lk_tpu.config import (
+        Config, DspConfig, MimoConfig, TrackerConfig,
+    )
+    from beamforming_lk_tpu.app.control import ControlUnit
+
+    # Reference default: MIMO on unless only other workers requested.
+    enable_mimo = args.mimo or not (args.tracking or args.miso)
+    cfg = Config(
+        mimo=MimoConfig(rows=args.mimo_res, columns=args.mimo_res,
+                        fov_degrees=args.fov),
+        tracker=TrackerConfig(fov_degrees=args.fov),
+    )
+    n_arrays = max(args.arrays, len(args.port or []))
+    unit = ControlUnit(
+        cfg,
+        n_arrays=n_arrays,
+        enable_mimo=enable_mimo,
+        enable_tracker=args.tracking,
+        enable_miso=args.miso,
+        colormap=args.colormap,
+        blur_sigma=args.blur,
+    )
+    if args.steer is not None:
+        for pipe in unit.pipelines:
+            pipe.steer(math.radians(args.steer[0]), math.radians(args.steer[1]))
+
+    publisher = None
+    if args.wara_ps:
+        from beamforming_lk_tpu.app.waraps import TelemetrySink, WaraPsPublisher
+        import os
+
+        sink = TelemetrySink(
+            broker=os.environ.get("MQTT_BROKER"),
+            username=os.environ.get("MQTT_USERNAME"),
+            password=os.environ.get("MQTT_PASSWORD"),
+            fallback_path=args.telemetry_file or "telemetry.ndjson",
+        )
+        publisher = WaraPsPublisher(sink, *args.gps)
+
+    def on_frame(_frame):
+        if publisher is not None:
+            publisher.maybe_publish(unit.best_track())
+
+    sources = make_sources(args, cfg, unit.pipelines)
+    summary = unit.run(
+        sources,
+        n_blocks=args.blocks if args.blocks > 0 else None,
+        render_every=args.render_every,
+        output_dir=args.output_dir,
+        on_frame=on_frame if publisher else None,
+        miso_wav=args.miso_wav,
+        verbose=args.verbose,
+    )
+    if args.fps or args.verbose:
+        import json
+
+        print(json.dumps(summary, indent=2))
+    if args.tracking:
+        for i, pipe in enumerate(unit.pipelines):
+            for t in pipe.targets():
+                print(
+                    f"array {i}: target theta={math.degrees(t['theta']):.1f} "
+                    f"phi={math.degrees(t['phi']):.1f} power={t['power']:.2e}"
+                )
+        best = unit.best_track()
+        if best is not None:
+            print(f"best track: {np.round(best.position, 2)} hits={best.hits}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

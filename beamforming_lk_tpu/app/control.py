@@ -1,0 +1,167 @@
+"""Control unit: multi-array orchestration, rendering, recording, fusion.
+
+Re-design of the reference's ``AWControlUnit`` (``src/aw_control_unit/
+aw_control_unit.cpp``): one AWPU pipeline per source link, TargetHandler
+fusion at >= 2 arrays (registered at the same hardcoded +/-1 m x-offsets,
+``aw_control_unit.cpp:261-265``), and the render loop (per-AWPU heatmap ->
+upscale -> blur -> colormap -> hconcat -> FPS meter,
+``aw_control_unit.cpp:277-441``) — but headless-first: frames are numpy RGB
+arrays handed to a callback / PNG sequence / optional cv2 window, and every
+step is observable through :class:`BlockMetrics`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from beamforming_lk_tpu.config import Config
+from beamforming_lk_tpu.app.awpu import AwpuPipeline
+from beamforming_lk_tpu.models.fusion import TargetFusion
+from beamforming_lk_tpu.utils.colormap import (
+    apply_colormap,
+    gaussian_blur,
+    jet_lut,
+    ocean_lut,
+    upscale,
+)
+from beamforming_lk_tpu.utils.metrics import BlockMetrics, FpsMeter
+from beamforming_lk_tpu.utils.png import write_png
+
+
+class ControlUnit:
+    """Top-level app: feeds per-array block sources through AWPU pipelines,
+    fuses targets, renders frames."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        n_arrays: int = 1,
+        enable_mimo: bool = True,
+        enable_tracker: bool = True,
+        enable_miso: bool = False,
+        array_positions: Optional[Sequence] = None,
+        colormap: str = "jet",
+        blur_sigma: float = 0.0,
+        frame_size: int = 256,
+        mesh=None,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.pipelines: List[AwpuPipeline] = [
+            AwpuPipeline(
+                cfg,
+                mesh=mesh,
+                seed=seed + i,
+                enable_mimo=enable_mimo,
+                enable_tracker=enable_tracker,
+                enable_miso=enable_miso,
+            )
+            for i in range(n_arrays)
+        ]
+        self.metrics = BlockMetrics(cfg.dsp.block_size, cfg.array.sample_rate)
+        self.fps = FpsMeter()
+        self.lut = ocean_lut() if colormap == "ocean" else jet_lut()
+        self.blur_sigma = blur_sigma
+        self.frame_size = frame_size
+        self.fusion: Optional[TargetFusion] = None
+        if n_arrays >= 2 and enable_tracker:
+            # Reference registers 2 AWPUs at +/-1 m x-offsets
+            # (aw_control_unit.cpp:261-265).
+            if array_positions is None:
+                # i=0 -> -1 m, i=1 -> +1 m, i=2 -> -2 m, ...
+                array_positions = [
+                    ((-1.0) ** (i + 1) * (1.0 + i // 2), 0.0, 0.0)
+                    for i in range(n_arrays)
+                ]
+            self.fusion = TargetFusion(cfg.triangulation)
+            for pipe, pos in zip(self.pipelines, array_positions):
+                self.fusion.add_array(pipe, pos)
+
+    def process(self, blocks: Sequence[np.ndarray], now: float = 0.0):
+        """Feed one [C, T] block per array; returns per-array outputs."""
+        self.metrics.start_block()
+        outs = [p.process_block(b) for p, b in zip(self.pipelines, blocks)]
+        # Force completion for honest latency accounting.
+        for o in outs:
+            np.asarray(o.powers)
+        self.metrics.end_block()
+        if self.fusion is not None:
+            self.fusion.step(now)
+        return outs
+
+    def render_frame(self) -> np.ndarray:
+        """Compose the current heatmaps into one RGB frame
+        (draw path: aw_processing_unit.cpp:245-259 + UI loop)."""
+        tiles = []
+        for pipe in self.pipelines:
+            img = pipe.heatmap()
+            img = upscale(img, (self.frame_size, self.frame_size))
+            if self.blur_sigma > 0:
+                img = gaussian_blur(img, self.blur_sigma)
+            tiles.append(apply_colormap(img, self.lut))
+        self.fps.tick()
+        return np.concatenate(tiles, axis=1) if len(tiles) > 1 else tiles[0]
+
+    def best_track(self):
+        return self.fusion.store.best if self.fusion is not None else None
+
+    def run(
+        self,
+        sources: Sequence,
+        n_blocks: Optional[int] = None,
+        render_every: int = 4,
+        output_dir: Optional[str] = None,
+        on_frame: Optional[Callable[[np.ndarray], None]] = None,
+        miso_wav: Optional[str] = None,
+        verbose: bool = False,
+    ) -> dict:
+        """Drive block iterators (one per array) to completion.
+
+        ``sources``: iterables of [C, T] blocks (synthetic generator, pcap
+        replay, UDP receiver, native ingest — anything).  Returns the final
+        metrics summary.
+        """
+        wav = None
+        if miso_wav is not None:
+            from beamforming_lk_tpu.io.wav import WavWriter
+
+            wav = WavWriter(miso_wav, self.cfg.array.sample_rate)
+        if output_dir is not None:
+            os.makedirs(output_dir, exist_ok=True)
+        iters = [iter(s) for s in sources]
+        i = 0
+        try:
+            while n_blocks is None or i < n_blocks:
+                try:
+                    blocks = [next(it) for it in iters]
+                except StopIteration:
+                    break
+                now = i * self.cfg.dsp.block_seconds
+                outs = self.process(blocks, now=now)
+                if wav is not None:
+                    wav.write(np.asarray(outs[0].miso_beam))
+                if (i + 1) % render_every == 0 and (
+                    output_dir is not None or on_frame is not None
+                ):
+                    frame = self.render_frame()
+                    if output_dir is not None:
+                        write_png(
+                            os.path.join(output_dir, f"frame_{i:06d}.png"), frame
+                        )
+                    if on_frame is not None:
+                        on_frame(frame)
+                if verbose and (i + 1) % 64 == 0:
+                    s = self.metrics.summary()
+                    print(
+                        f"block {i + 1}: {s['blocks_per_s']:.1f} blocks/s "
+                        f"({s['realtime_factor']:.2f}x realtime), "
+                        f"p50 {s['latency_p50_ms']:.2f} ms"
+                    )
+                i += 1
+        finally:
+            if wav is not None:
+                wav.close()
+        return self.metrics.summary()

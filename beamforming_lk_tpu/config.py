@@ -102,6 +102,13 @@ class TrackerConfig:
     tracker_step_gain: float = 1.0
     fov_degrees: float = 180.0
     iterations: int = 10         # swarm update iterations per block
+    # Stop trackers weaker than this fraction of the strongest active one.
+    # The monopulse error is ~0 on SIDELOBE peaks too (first sidelobe of an
+    # 8x8 rectangular aperture is -13 dB ~= 5% power), so the reference's
+    # mean-seeker-power prune (gradient_ascend.cpp:398-408) lets sidelobe
+    # trackers through; 0.1 cuts them while keeping real sources within
+    # 10 dB.  Set 0.0 for exact reference behavior.
+    min_power_fraction: float = 0.1
 
     @property
     def theta_limit(self) -> float:

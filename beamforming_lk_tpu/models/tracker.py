@@ -353,13 +353,19 @@ def make_swarm_step_impl(
             length=cfg.iterations,
         )
 
-        # Publish: prune weak/diverged trackers (gradient_ascend.cpp:398-408).
+        # Publish: prune weak/diverged trackers (gradient_ascend.cpp:398-408),
+        # plus the sidelobe gate (see TrackerConfig.min_power_fraction).
         weak = (
             (trackers.radius < mean)
             | (trackers.radius < reference)
             | (trackers.error > cfg.error_threshold)
         )
         tracking = tracking & ~weak
+        if cfg.min_power_fraction > 0.0:
+            strongest = jnp.max(jnp.where(tracking, trackers.radius, 0.0))
+            tracking = tracking & (
+                trackers.radius >= cfg.min_power_fraction * strongest
+            )
         targets = Targets(
             theta=trackers.theta,
             phi=trackers.phi,

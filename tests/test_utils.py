@@ -1,0 +1,82 @@
+"""Rendering utilities and metrics."""
+
+import numpy as np
+
+from beamforming_lk_tpu.utils import (
+    BlockMetrics,
+    FpsMeter,
+    apply_colormap,
+    gaussian_blur,
+    jet_lut,
+    ocean_lut,
+    upscale,
+    write_png,
+)
+from beamforming_lk_tpu.utils.png import read_png_size
+
+
+def test_luts_shape_and_endpoints():
+    for lut in (jet_lut(), ocean_lut()):
+        assert lut.shape == (256, 3) and lut.dtype == np.uint8
+    # JET: low end blue-ish, high end red-ish, middle green-ish.
+    j = jet_lut()
+    assert j[0, 2] > j[0, 0] and j[255, 0] > j[255, 2] and j[128, 1] > 200
+
+
+def test_apply_colormap():
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4) * 17
+    rgb = apply_colormap(img)
+    assert rgb.shape == (4, 4, 3) and rgb.dtype == np.uint8
+
+
+def test_upscale_preserves_constant_and_interpolates():
+    img = np.full((8, 8), 100, np.uint8)
+    up = upscale(img, (32, 32))
+    assert up.shape == (32, 32) and np.all(up == 100)
+    # A step edge becomes a gradient under bilinear.
+    img2 = np.zeros((2, 2), np.uint8)
+    img2[:, 1] = 200
+    up2 = upscale(img2, (2, 8))
+    assert up2[0, 0] == 0 and up2[0, -1] == 200
+    assert np.any((up2[0] > 10) & (up2[0] < 190))
+    # Nearest keeps only the two values.
+    upn = upscale(img2, (2, 8), bilinear=False)
+    assert set(np.unique(upn)) == {0, 200}
+
+
+def test_gaussian_blur_smooths_but_preserves_mean():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (16, 16)).astype(np.uint8)
+    out = gaussian_blur(img, sigma=2.0)
+    assert out.shape == img.shape
+    assert abs(float(out.mean()) - float(img.mean())) < 8.0
+    assert out.std() < img.std()
+    # RGB path
+    rgb = np.stack([img] * 3, axis=-1)
+    out3 = gaussian_blur(rgb, sigma=1.0)
+    assert out3.shape == rgb.shape
+
+
+def test_png_round_trip_size(tmp_path):
+    gray = (np.arange(64, dtype=np.uint8).reshape(8, 8)) * 4
+    p1 = str(tmp_path / "g.png")
+    write_png(p1, gray)
+    assert read_png_size(p1) == (8, 8)
+    rgb = apply_colormap(gray)
+    p2 = str(tmp_path / "c.png")
+    write_png(p2, rgb)
+    assert read_png_size(p2) == (8, 8)
+
+
+def test_metrics():
+    m = BlockMetrics(block_size=256, sample_rate=48828.0)
+    for _ in range(10):
+        m.start_block()
+        m.end_block()
+    s = m.summary()
+    assert s["blocks"] == 10
+    assert s["samples_per_s"] > 0
+    assert s["latency_p50_ms"] >= 0
+    f = FpsMeter()
+    f.tick(0.0)
+    assert abs(f.tick(0.1) - 10.0) < 1e-6
