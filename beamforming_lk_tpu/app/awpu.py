@@ -86,10 +86,11 @@ def make_awpu_step(
     )
 
     # Heatmap stencil (the computeDelayLUT analog) — built WITHOUT the mask
-    # folded in so the mask can stay a sharded runtime operand.
+    # folded in so the mask can stay a sharded runtime operand.  Host-side
+    # numpy build: one device_put instead of per-op round trips.
     theta, phi = mm.make_mimo_grid(cfg.mimo)
-    delays = ant.steering_delays(points_np, theta, phi, arr.samples_per_meter)
-    mimo_weights = dl.das_weights(delays, dsp.shift_range, dsp.interp, fir_bank)
+    delays = ant.steering_delays_np(points_np, theta, phi, arr.samples_per_meter)
+    mimo_weights = dl.das_weights_np(delays, dsp.shift_range, dsp.interp, fir_bank)
 
     axis_name = CH_AXIS if (mesh is not None and CH_AXIS in mesh.axis_names) else None
     swarm_impl = tk.make_swarm_step_impl(

@@ -74,14 +74,18 @@ def make_mimo_model(
     """Build the static per-direction DAS stencil for the heatmap grid
     (the analog of ``computeDelayLUT``, mimo.cpp:20-59)."""
     theta, phi = make_mimo_grid(mimo_cfg)
-    delays = ant.steering_delays(points, theta, phi, array_cfg.samples_per_meter)
+    # Static LUT: build entirely on host (numpy) and device_put once — the
+    # traced builders would round-trip per op on remote-device setups.
+    delays = ant.steering_delays_np(
+        np.asarray(points), theta, phi, array_cfg.samples_per_meter
+    )
     mode = dsp_cfg.interp
     taps = dl.LINEAR_TAPS if mode == "linear" else dsp_cfg.fir_taps
     if mode == "fir" and fir_bank is None:
         fir_bank = dl.fractional_delay_fir_bank(dsp_cfg.fir_phases, dsp_cfg.fir_taps)
-    weights = dl.das_weights(delays, dsp_cfg.shift_range, mode, fir_bank)
+    weights = dl.das_weights_np(delays, dsp_cfg.shift_range, mode, fir_bank)
     if channel_mask is not None:
-        weights = weights * jnp.asarray(channel_mask, weights.dtype)[:, None]
+        weights = weights * np.asarray(channel_mask, weights.dtype)[:, None]
     return MimoModel(
         weights=jax.device_put(weights),
         theta=theta,

@@ -119,6 +119,18 @@ def steering_delays(points, theta, phi, samples_per_meter, axis_name=None):
     return delays - mins
 
 
+def steering_delays_np(points, theta, phi, samples_per_meter) -> np.ndarray:
+    """Host-side (numpy) twin of :func:`steering_delays` for large static
+    direction grids — avoids per-op device round trips at LUT build time."""
+    theta = np.asarray(theta, np.float64)
+    phi = np.asarray(phi, np.float64)
+    st = np.sin(theta)
+    u = np.stack([st * np.cos(phi), -st * np.sin(phi), np.cos(theta)], axis=-1)
+    z = u @ np.asarray(points, np.float64)
+    delays = z * float(samples_per_meter)
+    return (delays - delays.min(axis=-1, keepdims=True)).astype(np.float32)
+
+
 def steering_delays_horizontal(points, azimuth, elevation, samples_per_meter):
     """Steering via (azimuth, elevation) angles (reference: antenna.cpp:109-117)."""
     theta, phi = horizontal_to_spherical(azimuth, elevation)

@@ -116,6 +116,34 @@ def das_weights(delays, shift_range: int, mode: str = "linear", fir_bank=None):
     return jnp.einsum("...ct,...cts->...cs", w, onehot)
 
 
+def das_weights_np(delays, shift_range: int, mode: str = "linear", fir_bank=None):
+    """Host-side (numpy) builder of the same stencil as :func:`das_weights`.
+
+    For large STATIC direction grids (the MIMO heatmap LUT) the traced
+    one-hot construction is wasteful at build time — and on a remote-device
+    setup every eager op round-trips to the accelerator.  This scatters the
+    taps directly and does not touch the device at all; callers
+    ``device_put`` the result once.
+    """
+    taps = LINEAR_TAPS if mode == "linear" else int(np.shape(fir_bank)[-1])
+    delays = np.clip(np.asarray(delays, np.float64), 0.0, float(shift_range - taps))
+    whole = np.floor(delays)
+    frac = (delays - whole).astype(np.float32)
+    shift = (shift_range - taps) - whole.astype(np.int64)
+    if mode == "linear":
+        w = np.stack([frac, 1.0 - frac], axis=-1)
+    elif mode == "fir":
+        bank = np.asarray(fir_bank, np.float32)
+        idx = np.round(frac * (bank.shape[0] - 1)).astype(np.int64)
+        w = bank[idx]
+    else:
+        raise ValueError(f"unknown interp mode: {mode}")
+    out = np.zeros(delays.shape + (shift_range,), np.float32)
+    tap_idx = shift[..., None] + np.arange(taps)     # distinct per tap
+    np.put_along_axis(out, tap_idx, w, axis=-1)
+    return out
+
+
 def unfold_window(window, shift_range: int, block_size: int):
     """x[C, T + S] -> sliding windows X[C, S, T] with X[c, k, t] = x[c, t+k].
 

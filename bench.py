@@ -53,8 +53,8 @@ def build(n_mics=256, grid=65, block=256, shift_range=64):
     points = ant.combine_arrays([g] * n_arrays, offsets)
     model = mm.make_mimo_model(points, mimo, dsp, arr)
     span = float(
-        np.max(np.asarray(ant.steering_delays(points, model.theta, model.phi,
-                                              arr.samples_per_meter)))
+        np.max(ant.steering_delays_np(points, model.theta, model.phi,
+                                      arr.samples_per_meter))
     )
     assert span <= shift_range - model.taps, (span, shift_range)
     return points, model, dsp, arr

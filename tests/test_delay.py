@@ -157,3 +157,26 @@ def test_das_power_from_delays_with_mask():
         )
     )
     assert np.allclose(p, p2, rtol=1e-5)
+
+
+def test_numpy_builders_match_traced():
+    """das_weights_np / steering_delays_np are bit-compatible with the
+    traced builders (they feed the same kernel)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from beamforming_lk_tpu.ops import antenna as ant
+    from beamforming_lk_tpu.ops import delay as dl
+
+    rng = np.random.default_rng(0)
+    points = ant.create_antenna_grid()
+    theta = rng.uniform(0.0, 1.2, 17).astype(np.float32)
+    phi = rng.uniform(0.0, 6.28, 17).astype(np.float32)
+    d_np = ant.steering_delays_np(points, theta, phi, 143.6)
+    d_tr = np.asarray(ant.steering_delays(points, theta, phi, 143.6))
+    np.testing.assert_allclose(d_np, d_tr, atol=1e-4)
+
+    for mode, bank in (("linear", None), ("fir", dl.fractional_delay_fir_bank())):
+        w_np = dl.das_weights_np(d_np, 64, mode, bank)
+        w_tr = np.asarray(dl.das_weights(jnp.asarray(d_np), 64, mode,
+                                         None if bank is None else jnp.asarray(bank)))
+        np.testing.assert_allclose(w_np, w_tr, atol=1e-6)
