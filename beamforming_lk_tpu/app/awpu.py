@@ -176,7 +176,7 @@ def make_awpu_step(
     dr = DIR_AXIS if DIR_AXIS in mesh.axis_names else None
     state_specs = AwpuState(
         history=P(ch, None),
-        swarm=jax.tree.map(lambda _: P(), tk.swarm_init(cfg.tracker, jax.random.key(0))),
+        swarm=jax.tree.map(lambda _: P(), tk.swarm_init(cfg.tracker, jax.random.PRNGKey(0))),
         miso=jax.tree.map(lambda _: P(), ms.miso_init()),
         prev_max=P(),
         block_index=P(),
@@ -233,7 +233,7 @@ def awpu_init(
         history = jax.device_put(history, NamedSharding(mesh, P(ch, None)))
     return AwpuState(
         history=history,
-        swarm=tk.swarm_init(cfg.tracker, jax.random.key(seed)),
+        swarm=tk.swarm_init(cfg.tracker, jax.random.PRNGKey(seed)),
         miso=ms.miso_init(),
         prev_max=jnp.zeros((), jnp.float32),
         block_index=jnp.zeros((), jnp.int32),
@@ -306,6 +306,28 @@ class AwpuPipeline:
         from beamforming_lk_tpu.models.targets import targets_to_list
 
         return targets_to_list(self.last.targets)
+
+    def save(self, path: str) -> None:
+        """Checkpoint the carried state (ring history, swarm, MISO, EMA).
+
+        The reference's ``save_pipeline`` is a dead stub
+        (pipeline.cpp:300-315); this is a working resume path.
+        """
+        from beamforming_lk_tpu.io.checkpoint import save_state
+
+        save_state(path, jax.tree.map(np.asarray, self.state))
+
+    def restore(self, path: str) -> None:
+        from beamforming_lk_tpu.io.checkpoint import load_state
+
+        loaded = load_state(path, self.state)
+        if self.mesh is not None:
+            ch = CH_AXIS if CH_AXIS in self.mesh.axis_names else None
+            hist = jax.device_put(
+                loaded.history, NamedSharding(self.mesh, P(ch, None))
+            )
+            loaded = loaded._replace(history=hist)
+        self.state = jax.tree.map(jnp.asarray, loaded)
 
     def heatmap(self):
         """Render the last powers to a uint8 [rows, cols] image."""

@@ -66,6 +66,13 @@ class ControlUnit:
         self.lut = ocean_lut() if colormap == "ocean" else jet_lut()
         self.blur_sigma = blur_sigma
         self.frame_size = frame_size
+        # Kalman smoothing of the best track (the reference smooths/leads the
+        # oldest tracker's direction in the heatmap UI,
+        # gradient_ascend.cpp:242-246; here it runs on the fused 3D track).
+        from beamforming_lk_tpu.models.kalman import KalmanFilter3D
+
+        self._kf = KalmanFilter3D(dt=cfg.dsp.block_seconds)
+        self._kf_state = None
         self.fusion: Optional[TargetFusion] = None
         if n_arrays >= 2 and enable_tracker:
             # Reference registers 2 AWPUs at +/-1 m x-offsets
@@ -89,7 +96,13 @@ class ControlUnit:
             np.asarray(o.powers)
         self.metrics.end_block()
         if self.fusion is not None:
-            self.fusion.step(now)
+            best = self.fusion.step(now)
+            if best is not None and best.valid:
+                if self._kf_state is None:
+                    self._kf_state = self._kf.init()
+                self._kf_state = self._kf.update(
+                    self._kf_state, np.asarray(best.position, np.float32)
+                )
         return outs
 
     def render_frame(self) -> np.ndarray:
@@ -107,6 +120,15 @@ class ControlUnit:
 
     def best_track(self):
         return self.fusion.store.best if self.fusion is not None else None
+
+    def smoothed_best(self, lead_seconds: float = 0.0):
+        """KF-smoothed best-track position, optionally extrapolated ahead
+        (the reference's lead circle, gradient_ascend.cpp:242-246)."""
+        if self._kf_state is None:
+            return None
+        if lead_seconds > 0.0:
+            return np.asarray(self._kf.predict_time(self._kf_state, lead_seconds))
+        return np.asarray(self._kf.position(self._kf_state))
 
     def run(
         self,
