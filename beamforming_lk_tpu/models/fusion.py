@@ -167,11 +167,19 @@ class TargetFusion:
     (reference worker loop: target_handler.cpp:27-37).
     """
 
-    def __init__(self, cfg: TriangulationConfig = TriangulationConfig()):
+    def __init__(
+        self,
+        cfg: TriangulationConfig = TriangulationConfig(),
+        log_path: Optional[str] = None,
+    ):
         self.cfg = cfg
         self.store = TrackStore(cfg)
         self.positions: List[np.ndarray] = []
         self._pipelines: List = []
+        # Ray-pair debug log, the reference's Targets.txt
+        # (target_handler.cpp:24-25,145-152): one line per compared pair,
+        # "o1,d1;o2,d2;timestamp" with space-separated vectors.
+        self._log = open(log_path, "w") if log_path else None
 
     def add_array(self, pipeline, position) -> "TargetFusion":
         """AddAWPU (target_handler.cpp:39-43)."""
@@ -201,6 +209,13 @@ class TargetFusion:
             dd1 = np.repeat(d1, len(o2), axis=0)
             oo2 = np.tile(o2, (len(o1), 1))
             dd2 = np.tile(d2, (len(o1), 1))
+            if self._log is not None:
+                for k in range(len(oo1)):
+                    self._log.write(
+                        f"{' '.join(map(str, oo1[k]))},{' '.join(map(str, dd1[k]))};"
+                        f"{' '.join(map(str, oo2[k]))},{' '.join(map(str, dd2[k]))};"
+                        f"{now}\n"
+                    )
             pts, valid = triangulate_rays(oo1, dd1, oo2, dd2, self.cfg)
             pts = np.asarray(pts)
             valid = np.asarray(valid)

@@ -5,20 +5,32 @@ Workload (BASELINE.json): 256 mics (4 x 8x8 arrays in a 2x2 cluster) x
 delay-and-sum inner loop that dominates the reference's compute
 (``src/dsp/mimo.cpp:121-151``).
 
-Metric: beam-samples/s/chip = directions x block_size x blocks/s.
+Methodology notes (tunneled remote device):
+- ``block_until_ready`` does not reliably fence through the remote-device
+  tunnel, and per-call dispatch pays ~30 ms network latency; so N blocks are
+  chained inside ONE jitted ``lax.scan`` (the real deployment shape for a
+  streaming TPU pipeline anyway), synced by fetching the result, and fixed
+  overhead is removed by differencing two scan lengths.
+- The dense stencil (D*C*S floats, ~280 MB) is built ON DEVICE from the
+  [D, C] delay table; only ~4 MB of delays ever cross the wire.
 
-Baseline: the reference's real-time AVX2 requirement — 100x100 dirs x
-64 mics x 256 samples per 5.24 ms block ~= 3.12e10 mic-MAC/s
-(``BASELINE.md``).  On this workload that CPU envelope yields
-3.12e10 / 256 mics ~= 1.22e8 beam-samples/s; ``vs_baseline`` is the ratio
-against that.  (A vs_baseline of ~8.9 means real-time at this 4x-bigger
-config; the reference cannot run this config in real time at all.)
+Variants: dense shift-matmul (f32-highest parity kernel, bf16-input/f32-acc)
+and the Pallas on-the-fly-stencil kernel (f32 / bf16).  The headline metric
+is the fastest variant; all are printed to stderr.  bf16 variants differ
+from the f32 parity kernel by <= ~3e-3 relative on heatmap powers
+(the reference itself runs -Ofast -ffast-math float32).
+
+Metric: beam-samples/s/chip = directions x block_size x blocks/s.
+Baseline: the reference's implied real-time AVX2 envelope — 100x100 dirs x
+64 mics x 256 samples per 5.24 ms block ~= 3.12e10 mic-MAC/s (BASELINE.md);
+on this workload that yields ~1.22e8 beam-samples/s.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -32,85 +44,160 @@ from beamforming_lk_tpu.io import ring as rg
 from beamforming_lk_tpu.models import mimo as mm
 from beamforming_lk_tpu.ops import antenna as ant
 from beamforming_lk_tpu.ops import delay as dl
+from beamforming_lk_tpu.ops.pallas_das import das_beam_pallas, delay_split_np, pad_directions
 
 SAMPLE_RATE = 48828.0
 REFERENCE_MIC_MACS_PER_S = 100 * 100 * 64 * 256 / (256 / SAMPLE_RATE)  # ~3.12e10
 
+N_MICS = 256
+GRID = 65
+BLOCK = 256
+SHIFT_RANGE = 64
+TILE_D = 128
+TILE_C = 8
 
-def build(n_mics=256, grid=65, block=256, shift_range=64):
+
+def build_geometry():
     arr = ArrayConfig()
-    dsp = DspConfig(block_size=block, shift_range=shift_range)
-    mimo = MimoConfig(rows=grid, columns=grid)
+    dsp = DspConfig(block_size=BLOCK, shift_range=SHIFT_RANGE)
+    mimo = MimoConfig(rows=GRID, columns=GRID)
     g = ant.create_antenna_grid(arr.columns, arr.rows, arr.distance)
-    n_arrays = n_mics // g.shape[1]
-    # 2x2 cluster keeps the aperture compact so min-subtracted steering
-    # delays stay within the shift span (0.34 m diagonal ~= 49 samples).
+    n_arrays = N_MICS // g.shape[1]
     side = int(np.ceil(np.sqrt(n_arrays)))
     pitch = arr.columns * arr.distance
-    offsets = [
-        ((i % side) * pitch, (i // side) * pitch, 0.0) for i in range(n_arrays)
-    ]
+    offsets = [((i % side) * pitch, (i // side) * pitch, 0.0) for i in range(n_arrays)]
     points = ant.combine_arrays([g] * n_arrays, offsets)
-    model = mm.make_mimo_model(points, mimo, dsp, arr)
-    span = float(
-        np.max(ant.steering_delays_np(points, model.theta, model.phi,
-                                      arr.samples_per_meter))
-    )
-    assert span <= shift_range - model.taps, (span, shift_range)
-    return points, model, dsp, arr
+    theta, phi = mm.make_mimo_grid(mimo)
+    delays = ant.steering_delays_np(points, theta, phi, arr.samples_per_meter)
+    assert delays.max() <= SHIFT_RANGE - 2, delays.max()
+    return points, delays, dsp, arr
+
+
+def timed_rate(step_scan, history, blocks, n_small=8, n_large=72):
+    """blocks/s via scan-length differencing with host-fetch sync."""
+    h, p = step_scan(history, blocks, n_small)   # compile + warm
+    np.asarray(p[:4])
+
+    def run(n):
+        t0 = time.perf_counter()
+        _, p = step_scan(history, blocks, n)
+        np.asarray(p[:4])
+        return time.perf_counter() - t0
+
+    t_small = min(run(n_small) for _ in range(2))
+    t_large = min(run(n_large) for _ in range(2))
+    dt = max(t_large - t_small, 1e-9)
+    return (n_large - n_small) / dt
+
+
+def make_scan(step_fn, taps):
+    """Wrap a per-block power fn into scan-over-blocks (cycling 8 blocks)."""
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def scan_n(history, blocks, n):
+        k = blocks.shape[0]
+
+        def body(carry, i):
+            history = carry
+            history = rg.ring_push(history, blocks[i % k])
+            window = rg.ring_window(history, BLOCK, SHIFT_RANGE, taps)
+            powers = step_fn(window)
+            return history, powers
+
+        history, powers = jax.lax.scan(body, history, jnp.arange(n))
+        return history, powers[-1]
+
+    return scan_n
 
 
 def main():
-    points, model, dsp, arr = build()
+    points, delays_np, dsp, arr = build_geometry()
     c = points.shape[1]
-    d = model.theta.shape[0]
-    t = dsp.block_size
+    d = delays_np.shape[0]
 
-    # Weights as a runtime arg — a closed-over concrete array would be baked
-    # into the HLO as a giant literal constant.
-    def _step(history, block, weights):
-        history = rg.ring_push(history, block)
-        window = rg.ring_window(history, t, dsp.shift_range, model.taps)
-        beam = dl.das_beam(window, weights)
-        tb = beam.shape[-1]
-        powers = dl.das_power(
-            beam, use_bandpass=dsp.use_bandpass, divisor=tb * c
-        )
-        return history, powers
-
-    jitted = jax.jit(_step, donate_argnums=(0,))
-    weights = jax.device_put(model.weights)
-
-    def step(history, block):
-        return jitted(history, block, weights)
-
+    # Device-side data (keep wire transfers small).
+    delays = jax.device_put(jnp.asarray(delays_np))
+    shift_np, tapw_np = delay_split_np(delays_np, SHIFT_RANGE, "linear")
+    (shift_p, tapw_p), d_pad = pad_directions([shift_np, tapw_np], d, TILE_D)
+    shift = jax.device_put(jnp.asarray(shift_p))
+    tapw = jax.device_put(jnp.asarray(tapw_p))
     rng = np.random.default_rng(0)
+    blocks = jax.device_put(
+        jnp.asarray(rng.standard_normal((8, c, BLOCK)), jnp.float32)
+    )
     history = jnp.zeros((c, dsp.history), jnp.float32)
-    blocks = [
-        jnp.asarray(rng.standard_normal((c, t)), jnp.float32) for _ in range(8)
-    ]
 
-    # Warmup / compile.
-    history, powers = step(history, blocks[0])
-    jax.block_until_ready(powers)
+    # Dense stencil built on device (~280 MB never crosses the tunnel).
+    weights = jax.jit(
+        lambda dl_: dl.das_weights(dl_, SHIFT_RANGE, "linear")
+    )(delays)
+    weights_bf16 = weights.astype(jnp.bfloat16)
 
-    n_iter = 60
-    start = time.perf_counter()
-    for i in range(n_iter):
-        history, powers = step(history, blocks[i % len(blocks)])
-    jax.block_until_ready(powers)
-    elapsed = time.perf_counter() - start
+    def dense_f32(window):
+        beam = dl.das_beam(window, weights)
+        return dl.das_power(beam, divisor=BLOCK * c)
 
-    blocks_per_s = n_iter / elapsed
-    beam_samples_per_s = d * t * blocks_per_s
-    mic_macs_per_s = d * c * t * blocks_per_s
+    def dense_bf16(window):
+        beam = dl.das_beam(
+            window.astype(jnp.bfloat16), weights_bf16,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        return dl.das_power(beam, divisor=BLOCK * c)
+
+    def pallas_f32(window):
+        beam = das_beam_pallas(
+            window, shift, tapw, span=SHIFT_RANGE, block_t=BLOCK,
+            tile_d=TILE_D, tile_c=TILE_C,
+        )[:d]
+        return dl.das_power(beam, divisor=BLOCK * c)
+
+    def pallas_bf16(window):
+        beam = das_beam_pallas(
+            window, shift, tapw, span=SHIFT_RANGE, block_t=BLOCK,
+            tile_d=TILE_D, tile_c=TILE_C, compute_dtype=jnp.bfloat16,
+        )[:d]
+        return dl.das_power(beam, divisor=BLOCK * c)
+
+    variants = {
+        "dense_f32_highest": dense_f32,
+        "dense_bf16": dense_bf16,
+        "pallas_f32": pallas_f32,
+        "pallas_bf16": pallas_bf16,
+    }
+    results = {}
+    ref_powers = None
+    for name, fn in variants.items():
+        try:
+            scan_n = make_scan(fn, dl.LINEAR_TAPS)
+            rate = timed_rate(scan_n, history, blocks)
+            results[name] = rate
+            _, p = scan_n(history, blocks, 8)
+            p = np.asarray(p, np.float64)
+            if ref_powers is None:
+                ref_powers = p
+                err = 0.0
+            else:
+                err = float(
+                    np.max(np.abs(p - ref_powers) / np.maximum(np.abs(ref_powers), 1e-30))
+                )
+            print(
+                f"# {name}: {rate:.1f} blocks/s "
+                f"(realtime_x={rate * BLOCK / SAMPLE_RATE:.1f}, "
+                f"max_rel_err={err:.1e})",
+                file=sys.stderr,
+            )
+        except Exception as e:  # keep the bench robust if a variant breaks
+            print(f"# {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+
+    best_name = max(results, key=results.get)
+    blocks_per_s = results[best_name]
+    beam_samples_per_s = d * BLOCK * blocks_per_s
+    mic_macs_per_s = d * c * BLOCK * blocks_per_s
     vs_baseline = mic_macs_per_s / REFERENCE_MIC_MACS_PER_S
-    realtime_factor = blocks_per_s * t / SAMPLE_RATE
-
     print(
-        f"# device={jax.devices()[0].device_kind} C={c} D={d} T={t} "
-        f"S={dsp.shift_range} blocks/s={blocks_per_s:.1f} "
-        f"realtime_x={realtime_factor:.2f} "
+        f"# device={jax.devices()[0].device_kind} best={best_name} "
+        f"C={c} D={d} T={BLOCK} S={SHIFT_RANGE} "
+        f"realtime_x={blocks_per_s * BLOCK / SAMPLE_RATE:.1f} "
         f"mic-GMAC/s={mic_macs_per_s / 1e9:.1f}",
         file=sys.stderr,
     )

@@ -137,3 +137,42 @@ def test_gps_and_heading():
     # heading 0: swap y and z (target_handler.cpp:189-196).
     rot = heading_rotation(0.0)
     np.testing.assert_allclose(rot @ np.array([1.0, 2.0, 3.0]), [1.0, 3.0, 2.0])
+
+
+def test_ray_log_round_trip(tmp_path):
+    """TargetFusion's ray log replays through tools/track_replay (the
+    Targets.txt -> track_algorithm.py offline workflow)."""
+    import subprocess
+    import sys
+
+    target = np.array([0.4, 0.6, 6.0])
+    log = str(tmp_path / "Targets.txt")
+    fusion = TargetFusion(CFG, log_path=log)
+    fusion.add_array(None, [-1.0, 0.0, 0.0])
+    fusion.add_array(None, [1.0, 0.0, 0.0])
+
+    def spherical_of(origin, jitter):
+        d = target - np.asarray(origin)
+        d = d / np.linalg.norm(d)
+        th, ph, _ = np.asarray(cartesian_to_spherical(d), np.float64)
+        return {"theta": float(th) + jitter, "phi": float(ph), "power": 1.0,
+                "probability": 1.0, "start": 0.0}
+
+    for k in range(3):
+        lists = [
+            [spherical_of([-1.0, 0.0, 0.0], 1e-4 * k)],
+            [spherical_of([1.0, 0.0, 0.0], -1e-4 * k)],
+        ]
+        fusion.step(now=0.01 * k, target_lists=lists)
+    fusion._log.close()
+
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "track_replay.py"), log],
+        capture_output=True, text=True, timeout=120,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stderr
+    assert "3 ray pairs, 3 valid intersections" in out.stdout
+    assert "best:" in out.stdout
