@@ -258,6 +258,7 @@ class AwpuPipeline:
         enable_mimo: bool = True,
         enable_tracker: bool = True,
         enable_miso: bool = True,
+        heatmap_mode: str = "das",
     ):
         self.cfg = cfg
         if points is None:
@@ -267,17 +268,31 @@ class AwpuPipeline:
         self.points = np.asarray(points, np.float32)
         self.mesh = mesh
         self.channel_mask = channel_mask
+        self.heatmap_mode = heatmap_mode
         self.step = make_awpu_step(
             self.points,
             cfg,
             channel_mask=channel_mask,
             mesh=mesh,
-            enable_mimo=enable_mimo,
+            enable_mimo=enable_mimo and heatmap_mode == "das",
             enable_tracker=enable_tracker,
             enable_miso=enable_miso,
         )
         self.state = awpu_init(cfg, self.points.shape[1], mesh=mesh, seed=seed)
         self.last: Optional[AwpuOutputs] = None
+        # Adaptive (MVDR/Capon) heatmap as an alternative to DAS power —
+        # a capability the reference does not have (models/mvdr.py).
+        self._mvdr_step = None
+        if heatmap_mode == "mvdr":
+            from beamforming_lk_tpu.models import mvdr as mv
+
+            theta, phi = mm.make_mimo_grid(cfg.mimo)
+            self._mvdr_step, n_bins = mv.make_mvdr_step(
+                self.points, theta, phi, cfg.array, channel_mask=channel_mask
+            )
+            self._mvdr_state = mv.mvdr_init(n_bins, self.points.shape[1])
+            self._mvdr_powers = None
+            self._mvdr_prev = jnp.zeros((), jnp.float32)
         if mesh is not None:
             ch = CH_AXIS if CH_AXIS in mesh.axis_names else None
             self._block_sharding = NamedSharding(mesh, P(ch, None))
@@ -289,6 +304,10 @@ class AwpuPipeline:
         block = jnp.asarray(block, jnp.float32)
         if self._block_sharding is not None:
             block = jax.device_put(block, self._block_sharding)
+        if self._mvdr_step is not None:
+            self._mvdr_state, self._mvdr_powers = self._mvdr_step(
+                self._mvdr_state, block
+            )
         self.state, self.last = self.step(self.state, block)
         return self.last
 
@@ -331,6 +350,16 @@ class AwpuPipeline:
 
     def heatmap(self):
         """Render the last powers to a uint8 [rows, cols] image."""
+        if self._mvdr_step is not None and self._mvdr_powers is not None:
+            img, self._mvdr_prev = mm.render_heatmap(
+                self._mvdr_powers,
+                self.cfg.mimo.rows,
+                self.cfg.mimo.columns,
+                self._mvdr_prev,
+                ema_alpha=self.cfg.mimo.ema_alpha,
+                use_db=self.cfg.mimo.use_db,
+            )
+            return np.asarray(img)
         if self.last is None:
             return np.zeros((self.cfg.mimo.rows, self.cfg.mimo.columns), np.uint8)
         img, _ = mm.render_heatmap(

@@ -57,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar=("THETA_DEG", "PHI_DEG"), help="pin MISO direction")
     p.add_argument("--colormap", choices=["jet", "ocean"], default="jet")
     p.add_argument("--blur", type=float, default=0.0, help="gaussian blur sigma")
+    p.add_argument("--mvdr", action="store_true",
+                   help="adaptive (Capon) heatmap instead of DAS power")
+    p.add_argument("--record", default=None, metavar="FILE.avi",
+                   help="record frames to AVI (requires cv2)")
+    p.add_argument("--display", action="store_true",
+                   help="live cv2 window ('q' quits)")
     p.add_argument("--telemetry-file", default=None,
                    help="NDJSON sink when MQTT is unavailable")
     p.add_argument("--gps", nargs=3, type=float, default=(57.76, 16.68, 0.0),
@@ -139,6 +145,7 @@ def main(argv=None) -> int:
         enable_miso=args.miso,
         colormap=args.colormap,
         blur_sigma=args.blur,
+        heatmap_mode="mvdr" if args.mvdr else "das",
     )
     if args.steer is not None:
         for pipe in unit.pipelines:
@@ -169,6 +176,8 @@ def main(argv=None) -> int:
         output_dir=args.output_dir,
         on_frame=on_frame if publisher else None,
         miso_wav=args.miso_wav,
+        record_avi=args.record,
+        display=args.display,
         verbose=args.verbose,
     )
     if args.fps or args.verbose:

@@ -48,6 +48,7 @@ class ControlUnit:
         frame_size: int = 256,
         mesh=None,
         seed: int = 0,
+        heatmap_mode: str = "das",
     ):
         self.cfg = cfg
         self.pipelines: List[AwpuPipeline] = [
@@ -58,6 +59,7 @@ class ControlUnit:
                 enable_mimo=enable_mimo,
                 enable_tracker=enable_tracker,
                 enable_miso=enable_miso,
+                heatmap_mode=heatmap_mode,
             )
             for i in range(n_arrays)
         ]
@@ -138,6 +140,8 @@ class ControlUnit:
         output_dir: Optional[str] = None,
         on_frame: Optional[Callable[[np.ndarray], None]] = None,
         miso_wav: Optional[str] = None,
+        record_avi: Optional[str] = None,
+        display: bool = False,
         verbose: bool = False,
     ) -> dict:
         """Drive block iterators (one per array) to completion.
@@ -151,6 +155,15 @@ class ControlUnit:
             from beamforming_lk_tpu.io.wav import WavWriter
 
             wav = WavWriter(miso_wav, self.cfg.array.sample_rate)
+        recorder = screen = None
+        if record_avi is not None:
+            from beamforming_lk_tpu.utils.video import VideoRecorder
+
+            recorder = VideoRecorder(record_avi)
+        if display:
+            from beamforming_lk_tpu.utils.video import LiveDisplay
+
+            screen = LiveDisplay()
         if output_dir is not None:
             os.makedirs(output_dir, exist_ok=True)
         iters = [iter(s) for s in sources]
@@ -165,14 +178,20 @@ class ControlUnit:
                 outs = self.process(blocks, now=now)
                 if wav is not None:
                     wav.write(np.asarray(outs[0].miso_beam))
-                if (i + 1) % render_every == 0 and (
+                want_frame = (
                     output_dir is not None or on_frame is not None
-                ):
+                    or recorder is not None or screen is not None
+                )
+                if (i + 1) % render_every == 0 and want_frame:
                     frame = self.render_frame()
                     if output_dir is not None:
                         write_png(
                             os.path.join(output_dir, f"frame_{i:06d}.png"), frame
                         )
+                    if recorder is not None:
+                        recorder.write(frame)
+                    if screen is not None and screen.show(frame) == "q":
+                        break  # reference UI: 'q' quits
                     if on_frame is not None:
                         on_frame(frame)
                 if verbose and (i + 1) % 64 == 0:
@@ -186,4 +205,8 @@ class ControlUnit:
         finally:
             if wav is not None:
                 wav.close()
+            if recorder is not None:
+                recorder.close()
+            if screen is not None:
+                screen.close()
         return self.metrics.summary()

@@ -1,0 +1,76 @@
+"""Optional video recording / live display (cv2-gated).
+
+The reference records the UI to AVI on the ``r`` key and shows frames with
+``cv::imshow`` (``src/aw_control_unit/aw_control_unit.cpp:150-162, 415``).
+Here both are thin optional sinks over the headless RGB frame path — the
+framework never requires OpenCV.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def has_cv2() -> bool:
+    try:
+        import cv2  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class VideoRecorder:
+    """AVI sink for RGB frames (startRecording/stopRecording analog)."""
+
+    def __init__(self, path: str, fps: float = 60.0):
+        if not has_cv2():
+            raise RuntimeError("cv2 unavailable; use PNG frame output instead")
+        self.path = path
+        self.fps = fps
+        self._writer = None
+
+    def write(self, frame: np.ndarray) -> None:
+        import cv2
+
+        if self._writer is None:
+            h, w = frame.shape[:2]
+            self._writer = cv2.VideoWriter(
+                self.path, cv2.VideoWriter_fourcc(*"MJPG"), self.fps, (w, h)
+            )
+        self._writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.release()
+            self._writer = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class LiveDisplay:
+    """cv2 window showing frames; returns pressed key (the UI loop's
+    ``waitKey(1)``; 'q' quits in the reference)."""
+
+    def __init__(self, title: str = "beamforming_lk_tpu"):
+        if not has_cv2():
+            raise RuntimeError("cv2 unavailable for display")
+        self.title = title
+
+    def show(self, frame: np.ndarray) -> Optional[str]:
+        import cv2
+
+        cv2.imshow(self.title, cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+        key = cv2.waitKey(1) & 0xFF
+        return chr(key) if key != 255 else None
+
+    def close(self) -> None:
+        import cv2
+
+        cv2.destroyWindow(self.title)

