@@ -90,6 +90,13 @@ def make_awpu_step(
     # numpy build: one device_put instead of per-op round trips.
     theta, phi = mm.make_mimo_grid(cfg.mimo)
     delays = ant.steering_delays_np(points_np, theta, phi, arr.samples_per_meter)
+    span_needed = float(delays.max()) + taps
+    if span_needed > dsp.shift_range:
+        raise ValueError(
+            f"aperture needs a shift span of {span_needed:.0f} samples "
+            f"(max steering delay + {taps} taps) but DspConfig.shift_range "
+            f"is {dsp.shift_range}; raise it (and history if needed)"
+        )
     mimo_weights = dl.das_weights_np(delays, dsp.shift_range, dsp.interp, fir_bank)
 
     axis_name = CH_AXIS if (mesh is not None and CH_AXIS in mesh.axis_names) else None
@@ -259,11 +266,14 @@ class AwpuPipeline:
         enable_tracker: bool = True,
         enable_miso: bool = True,
         heatmap_mode: str = "das",
+        channels: Optional[int] = None,
     ):
         self.cfg = cfg
         if points is None:
-            points = ant.create_antenna_grid(
-                cfg.array.columns, cfg.array.rows, cfg.array.distance
+            if channels is None:
+                channels = cfg.array.elements
+            points = ant.multi_array_cluster(
+                channels, cfg.array.columns, cfg.array.rows, cfg.array.distance
             )
         self.points = np.asarray(points, np.float32)
         self.mesh = mesh

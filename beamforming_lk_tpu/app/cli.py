@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ip-address", default="0.0.0.0")
     p.add_argument("--wara-ps", action="store_true", help="publish best track")
     p.add_argument("--verbose", action="store_true")
+    p.add_argument("--flipped", action="store_true",
+                   help="mirror the heatmap horizontally")
+    p.add_argument("--aesthetic", action="store_true",
+                   help="circular FOV mask on rendered frames")
     # Source selection (replaces the synthetic ctor + udpreplay workflow)
     p.add_argument(
         "--source", choices=["synthetic", "pcap", "udp", "native"],
@@ -146,6 +150,9 @@ def main(argv=None) -> int:
         colormap=args.colormap,
         blur_sigma=args.blur,
         heatmap_mode="mvdr" if args.mvdr else "das",
+        flip=args.flipped,
+        circle_mask=args.aesthetic,
+        channels=args.channels,
     )
     if args.steer is not None:
         for pipe in unit.pipelines:

@@ -49,8 +49,13 @@ class ControlUnit:
         mesh=None,
         seed: int = 0,
         heatmap_mode: str = "das",
+        flip: bool = False,
+        circle_mask: bool = False,
+        channels: Optional[int] = None,
     ):
         self.cfg = cfg
+        self.flip = flip
+        self.circle_mask = circle_mask
         self.pipelines: List[AwpuPipeline] = [
             AwpuPipeline(
                 cfg,
@@ -60,6 +65,7 @@ class ControlUnit:
                 enable_tracker=enable_tracker,
                 enable_miso=enable_miso,
                 heatmap_mode=heatmap_mode,
+                channels=channels,
             )
             for i in range(n_arrays)
         ]
@@ -107,16 +113,33 @@ class ControlUnit:
                 )
         return outs
 
-    def render_frame(self) -> np.ndarray:
+    def render_frame(
+        self, flip: Optional[bool] = None, circle_mask: Optional[bool] = None
+    ) -> np.ndarray:
         """Compose the current heatmaps into one RGB frame
-        (draw path: aw_processing_unit.cpp:245-259 + UI loop)."""
+        (draw path: aw_processing_unit.cpp:245-259 + UI loop).
+
+        ``flip`` mirrors horizontally (the reference's ``--flipped`` for
+        rear-mounted arrays); ``circle_mask`` blanks pixels outside the FOV
+        disc (the ``--aesthetic`` circular mask,
+        aw_control_unit.cpp:320-330)."""
+        flip = self.flip if flip is None else flip
+        circle_mask = self.circle_mask if circle_mask is None else circle_mask
         tiles = []
         for pipe in self.pipelines:
             img = pipe.heatmap()
             img = upscale(img, (self.frame_size, self.frame_size))
             if self.blur_sigma > 0:
                 img = gaussian_blur(img, self.blur_sigma)
-            tiles.append(apply_colormap(img, self.lut))
+            rgb = apply_colormap(img, self.lut)
+            if circle_mask:
+                n = self.frame_size
+                yy, xx = np.mgrid[0:n, 0:n]
+                r = (2.0 * xx / (n - 1) - 1.0) ** 2 + (2.0 * yy / (n - 1) - 1.0) ** 2
+                rgb = np.where(r[..., None] <= 1.0, rgb, 0).astype(np.uint8)
+            if flip:
+                rgb = rgb[:, ::-1]
+            tiles.append(rgb)
         self.fps.tick()
         return np.concatenate(tiles, axis=1) if len(tiles) > 1 else tiles[0]
 

@@ -73,6 +73,32 @@ def combine_arrays(grids, offsets) -> np.ndarray:
     return np.concatenate(placed, axis=1)
 
 
+def multi_array_cluster(
+    n_mics: int, columns: int = 8, rows: int = 8, distance: float = 0.02
+) -> np.ndarray:
+    """A compact near-square cluster of 8x8 arrays totalling ``n_mics``
+    channels, side by side at array pitch — the coherent multi-array
+    aperture (the reference only ever beamforms each 64-mic array
+    separately, aw_processing_unit.cpp:58-65; fusing them is the TPU-native
+    upgrade).  Keeps the aperture compact so min-subtracted steering delays
+    stay small (the DAS shift span grows with aperture)."""
+    g = create_antenna_grid(columns, rows, distance)
+    e = columns * rows
+    if n_mics % e:
+        raise ValueError(f"{n_mics} not a multiple of {e}")
+    n_arrays = n_mics // e
+    if n_arrays == 1:
+        return g
+    side = int(np.ceil(np.sqrt(n_arrays)))
+    pitch_x = columns * distance
+    pitch_y = rows * distance
+    offsets = [
+        ((i % side) * pitch_x, (i // side) * pitch_y, 0.0)
+        for i in range(n_arrays)
+    ]
+    return combine_arrays([g] * n_arrays, offsets)
+
+
 def steer_points(points, theta, phi):
     """Rotate the element cloud into the steered frame:
     ``Ry(-theta) @ Rz(phi) @ points`` (reference: antenna.cpp:99-107).

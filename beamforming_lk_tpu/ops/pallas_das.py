@@ -34,30 +34,42 @@ from beamforming_lk_tpu.ops import delay as dl
 
 def _das_kernel(shift_ref, tapw_ref, window_ref, out_ref, *, span, taps,
                 block_t, compute_dtype):
-    """One (d_tile, c_tile) step: build stencil tile, unfold, matmul-accumulate."""
+    """One (d_tile, c_tile) step: build stencil tile, unfold, matmul-accumulate.
+
+    The delay split arrives TRANSPOSED as [C, D] so its VMEM blocks are
+    (tile_c=8-multiple, tile_d=128-multiple) — the TPU lane tiling requires
+    the last two block dims be (8k, 128k) or span the full array dim.
+    """
     c_idx = pl.program_id(1)
 
-    shift = shift_ref[...]                      # [TILE_D, TILE_C] int32
-    tapw = tapw_ref[...]                        # [TILE_D, TILE_C, taps]
-    tile_d, tile_c = shift.shape
+    shift = shift_ref[...]                      # [TILE_C, TILE_D] int32
+    tapw = tapw_ref[...]                        # [TILE_C, TILE_D, taps]
+    tile_c, tile_d = shift.shape
 
-    # Stencil tile: W[d, c, s] = sum_j tapw[d, c, j] * [s == shift[d, c] + j]
-    s_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_d, tile_c, span), 2)
-    w = jnp.zeros((tile_d, tile_c, span), compute_dtype)
+    # Stencil tile W[c, s, d]: keeping the 128-aligned d axis MINOR means
+    # the (c, s) collapse below is a pure major-dim reshape, which Mosaic
+    # supports (collapsing into the lane dim is not).
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_c, span, tile_d), 1)
+    w = jnp.zeros((tile_c, span, tile_d), compute_dtype)
     for j in range(taps):
-        onehot = (s_iota == (shift + j)[..., None]).astype(compute_dtype)
-        w = w + tapw[..., j].astype(compute_dtype)[..., None] * onehot
-    w2d = w.reshape(tile_d, tile_c * span)
+        onehot = (s_iota == (shift + j)[:, None, :]).astype(compute_dtype)
+        # (two-step indexing: int-then-newaxis stays a slice; mixing them
+        # in one bracket lowers as an unsupported gather)
+        wj = tapw[:, :, j].astype(compute_dtype)
+        w = w + wj[:, None, :] * onehot
+    w2d = w.reshape(tile_c * span, tile_d)      # [K, TILE_D]
 
-    # Unfolded window tile: X[c, k, t] = window[c, t + k]
+    # Unfolded window tile X[c, k, t] = window[c, t + k]; again only major
+    # dims collapse (t stays minor).
     win = window_ref[...].astype(compute_dtype)  # [TILE_C, T + S]
     unf = jnp.stack(
         [win[:, k : k + block_t] for k in range(span)], axis=1
-    ).reshape(tile_c * span, block_t)
+    ).reshape(tile_c * span, block_t)            # [K, T]
 
+    # beam_tile[d, t] = sum_K W[K, d] * X[K, t]
     acc = jax.lax.dot_general(
         w2d, unf,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -107,16 +119,19 @@ def das_beam_pallas(
         compute_dtype=compute_dtype,
     )
     flops = 2 * d * c * span * block_t
+    # Transposed [C, D] layout => (8k, 128k)-tileable VMEM blocks.
+    shift_t = jnp.transpose(shift, (1, 0))
+    tapw_t = jnp.transpose(tap_weights, (1, 0, 2))
     return pl.pallas_call(
         kernel,
         grid=(d // tile_d, c // tile_c),
         in_specs=[
             pl.BlockSpec(
-                (tile_d, tile_c), lambda i, j: (i, j),
+                (tile_c, tile_d), lambda i, j: (j, i),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (tile_d, tile_c, taps), lambda i, j: (i, j, 0),
+                (tile_c, tile_d, taps), lambda i, j: (j, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -134,7 +149,7 @@ def das_beam_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(shift, tap_weights, window)
+    )(shift_t, tapw_t, window)
 
 
 def delay_split_np(delays, span: int, mode: str = "linear", fir_bank=None):

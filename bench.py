@@ -61,12 +61,7 @@ def build_geometry():
     arr = ArrayConfig()
     dsp = DspConfig(block_size=BLOCK, shift_range=SHIFT_RANGE)
     mimo = MimoConfig(rows=GRID, columns=GRID)
-    g = ant.create_antenna_grid(arr.columns, arr.rows, arr.distance)
-    n_arrays = N_MICS // g.shape[1]
-    side = int(np.ceil(np.sqrt(n_arrays)))
-    pitch = arr.columns * arr.distance
-    offsets = [((i % side) * pitch, (i // side) * pitch, 0.0) for i in range(n_arrays)]
-    points = ant.combine_arrays([g] * n_arrays, offsets)
+    points = ant.multi_array_cluster(N_MICS, arr.columns, arr.rows, arr.distance)
     theta, phi = mm.make_mimo_grid(mimo)
     delays = ant.steering_delays_np(points, theta, phi, arr.samples_per_meter)
     assert delays.max() <= SHIFT_RANGE - 2, delays.max()

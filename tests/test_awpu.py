@@ -103,3 +103,33 @@ def test_pipeline_finds_source():
     pipe.steer(SRC[0], SRC[1])
     out = pipe.process_block(_blocks(pipe.points, 9)[-1])
     assert np.asarray(out.miso_beam).shape == (cfg.dsp.block_size,)
+
+
+def test_multi_array_cluster_pipeline():
+    """256-mic coherent cluster (4 fused 8x8 arrays) through the fused
+    step — BASELINE config 3's aperture."""
+    cfg = Config(mimo=MimoConfig(rows=16, columns=16),
+                 tracker=TrackerConfig(iterations=2))
+    pipe = AwpuPipeline(cfg, channels=256, enable_tracker=False,
+                        enable_miso=False)
+    assert pipe.points.shape == (3, 256)
+    out = None
+    for blk in [
+        plane_wave_block(pipe.points, [SRC], b * 256, 256, cfg.array,
+                         noise_std=0.02)
+        for b in range(4)
+    ]:
+        out = pipe.process_block(blk)
+    from beamforming_lk_tpu.models.mimo import make_mimo_grid
+
+    theta, phi = make_mimo_grid(cfg.mimo)
+    d = int(np.argmax(np.asarray(out.powers)))
+    assert float(spherical_angle(theta[d], phi[d], SRC[0], SRC[1])) < np.radians(10)
+
+
+def test_oversized_aperture_rejected():
+    import pytest
+
+    cfg = Config(mimo=MimoConfig(rows=8, columns=8))
+    with pytest.raises(ValueError, match="shift_range"):
+        AwpuPipeline(cfg, channels=1024)
