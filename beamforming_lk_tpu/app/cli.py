@@ -69,6 +69,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="live cv2 window ('q' quits)")
     p.add_argument("--telemetry-file", default=None,
                    help="NDJSON sink when MQTT is unavailable")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax profiler trace of the run")
     p.add_argument("--gps", nargs=3, type=float, default=(57.76, 16.68, 0.0),
                    metavar=("LAT", "LON", "ALT"))
     return p
@@ -175,18 +177,21 @@ def main(argv=None) -> int:
         if publisher is not None:
             publisher.maybe_publish(unit.best_track())
 
+    from beamforming_lk_tpu.utils.profiling import trace
+
     sources = make_sources(args, cfg, unit.pipelines)
-    summary = unit.run(
-        sources,
-        n_blocks=args.blocks if args.blocks > 0 else None,
-        render_every=args.render_every,
-        output_dir=args.output_dir,
-        on_frame=on_frame if publisher else None,
-        miso_wav=args.miso_wav,
-        record_avi=args.record,
-        display=args.display,
-        verbose=args.verbose,
-    )
+    with trace(args.profile):
+        summary = unit.run(
+            sources,
+            n_blocks=args.blocks if args.blocks > 0 else None,
+            render_every=args.render_every,
+            output_dir=args.output_dir,
+            on_frame=on_frame if publisher else None,
+            miso_wav=args.miso_wav,
+            record_avi=args.record,
+            display=args.display,
+            verbose=args.verbose,
+        )
     if args.fps or args.verbose:
         import json
 
