@@ -164,6 +164,16 @@ def make_awpu_step(
         )
         return new_state, AwpuOutputs(powers, targets, miso_beam, prev_max)
 
+    def _scan(state, blocks, pts, mask, mimo_w):
+        """Drive M stacked blocks [M, C, T] through _step on device —
+        one dispatch per M blocks instead of per block, amortizing host
+        round-trip latency (outputs stack along the leading axis)."""
+
+        def body(st, blk):
+            return _step(st, blk, pts, mask, mimo_w)
+
+        return jax.lax.scan(body, state, blocks)
+
     if mesh is None:
         pts_dev = jnp.asarray(points_np)
         mask_dev = None if mask_np is None else jnp.asarray(mask_np)
@@ -172,10 +182,15 @@ def make_awpu_step(
         # argument — a closed-over concrete array would be baked into the
         # compiled program as a literal constant.
         jitted = jax.jit(_step)
+        jitted_scan = jax.jit(_scan)
 
         def step(state, block):
             return jitted(state, block, pts_dev, mask_dev, w_dev)
 
+        def scan_step(state, blocks):
+            return jitted_scan(state, blocks, pts_dev, mask_dev, w_dev)
+
+        step.scan = scan_step
         return step
 
     # --- Sharded build: the array model becomes shard_map operands.
@@ -206,12 +221,27 @@ def make_awpu_step(
         m = mask_arg[0] if mask_arg else None
         return _step(state, block, pts, m, mimo_w)
 
+    def _sharded_scan(state, blocks, pts, mimo_w, *mask_arg):
+        m = mask_arg[0] if mask_arg else None
+        return _scan(state, blocks, pts, m, mimo_w)
+
+    # Stacked outputs gain a leading (unsharded) M axis.
+    scan_out_specs = jax.tree.map(
+        lambda s: P(*((None,) + tuple(s))), out_specs
+    )
     sharded = jax.shard_map(
         _sharded,
         mesh=mesh,
         in_specs=(state_specs, P(ch, None), P(None, ch), P(dr, ch, None))
         + mask_spec,
         out_specs=(state_specs, out_specs),
+    )
+    sharded_scan = jax.shard_map(
+        _sharded_scan,
+        mesh=mesh,
+        in_specs=(state_specs, P(None, ch, None), P(None, ch), P(dr, ch, None))
+        + mask_spec,
+        out_specs=(state_specs, scan_out_specs),
     )
     pts_dev = jax.device_put(
         jnp.asarray(points_np), NamedSharding(mesh, P(None, ch))
@@ -220,10 +250,15 @@ def make_awpu_step(
         jnp.asarray(mimo_weights), NamedSharding(mesh, P(dr, ch, None))
     )
     jitted = jax.jit(sharded)
+    jitted_scan = jax.jit(sharded_scan)
 
     def step(state, block):
         return jitted(state, block, pts_dev, w_dev, *mask_args)
 
+    def scan_step(state, blocks):
+        return jitted_scan(state, blocks, pts_dev, w_dev, *mask_args)
+
+    step.scan = scan_step
     return step
 
 
@@ -320,6 +355,28 @@ class AwpuPipeline:
             )
         self.state, self.last = self.step(self.state, block)
         return self.last
+
+    def process_blocks(self, blocks) -> AwpuOutputs:
+        """Drive M stacked blocks [M, C, T] in ONE device dispatch (on-device
+        lax.scan) — amortizes host/dispatch latency for offline replay and
+        batch processing.  Outputs stack on the leading axis; ``self.last``
+        keeps the final block's outputs for heatmap()/targets()."""
+        blocks = jnp.asarray(blocks, jnp.float32)
+        if self._block_sharding is not None:
+            from jax.sharding import NamedSharding as NS, PartitionSpec as PS
+
+            ch = self._block_sharding.spec[0]
+            blocks = jax.device_put(
+                blocks, NS(self.mesh, PS(None, ch, None))
+            )
+        if self._mvdr_step is not None:
+            for i in range(blocks.shape[0]):
+                self._mvdr_state, self._mvdr_powers = self._mvdr_step(
+                    self._mvdr_state, blocks[i]
+                )
+        self.state, stacked = self.step.scan(self.state, blocks)
+        self.last = jax.tree.map(lambda x: x[-1], stacked)
+        return stacked
 
     def steer(self, theta: float, phi: float) -> None:
         """Pin the MISO listener (click-to-steer; aw_processing_unit.cpp:261-265)."""

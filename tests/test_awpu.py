@@ -133,3 +133,37 @@ def test_oversized_aperture_rejected():
     cfg = Config(mimo=MimoConfig(rows=8, columns=8))
     with pytest.raises(ValueError, match="shift_range"):
         AwpuPipeline(cfg, channels=1024)
+
+
+def test_scan_batch_matches_stepwise():
+    """process_blocks (one on-device scan dispatch) == per-block stepping,
+    single-device and sharded."""
+    import jax
+
+    cfg = Config(mimo=MimoConfig(rows=16, columns=16),
+                 tracker=TrackerConfig(iterations=1))
+    blocks = _blocks(ant.create_antenna_grid(), 4)
+
+    a = AwpuPipeline(cfg, seed=7)
+    for b in blocks:
+        a.process_block(b)
+
+    b_pipe = AwpuPipeline(cfg, seed=7)
+    stacked = b_pipe.process_blocks(np.stack(blocks))
+    assert np.asarray(stacked.powers).shape[0] == 4
+    np.testing.assert_allclose(
+        np.asarray(b_pipe.last.powers), np.asarray(a.last.powers),
+        rtol=1e-6, atol=1e-12,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(b_pipe.state.history), np.asarray(a.state.history)
+    )
+    assert int(np.asarray(b_pipe.state.block_index)) == 4
+
+    mesh = pm.make_mesh((2, 4))
+    c_pipe = AwpuPipeline(cfg, seed=7, mesh=mesh)
+    c_pipe.process_blocks(np.stack(blocks))
+    np.testing.assert_allclose(
+        np.asarray(c_pipe.last.powers), np.asarray(a.last.powers),
+        rtol=2e-4, atol=1e-13,
+    )
