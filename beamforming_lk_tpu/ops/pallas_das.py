@@ -59,11 +59,19 @@ def _das_kernel(shift_ref, tapw_ref, window_ref, out_ref, *, span, taps,
         w = w + wj[:, None, :] * onehot
     w2d = w.reshape(tile_c * span, tile_d)      # [K, TILE_D]
 
-    # Unfolded window tile X[c, k, t] = window[c, t + k]; again only major
-    # dims collapse (t stays minor).
+    # Unfolded window tile X[c, k, t] = window[c, t + k].  Slicing at lane
+    # offset k and concatenating trips Mosaic ("offset mismatch on
+    # non-concat dimension"); rotating with pltpu.roll keeps every slice at
+    # lane offset 0.  Only major dims collapse in the reshape (t stays
+    # minor).
     win = window_ref[...].astype(compute_dtype)  # [TILE_C, T + S]
+    width = block_t + span
     unf = jnp.stack(
-        [win[:, k : k + block_t] for k in range(span)], axis=1
+        [
+            pltpu.roll(win, (width - k) % width, 1)[:, :block_t]
+            for k in range(span)
+        ],
+        axis=1,
     ).reshape(tile_c * span, block_t)            # [K, T]
 
     # beam_tile[d, t] = sum_K W[K, d] * X[K, t]

@@ -157,3 +157,18 @@ def test_wav_round_trip(tmp_path):
         w.write(signal)
     data16, _ = read_wav(path16)
     np.testing.assert_allclose(data16[0], signal, atol=2.0 / 32767.0)
+
+
+def test_audio_player_pipes_pcm(tmp_path):
+    """AudioPlayer streams s16le PCM to the player subprocess (a file
+    reader stands in for aplay)."""
+    from beamforming_lk_tpu.io.audio_out import AudioPlayer
+
+    out = tmp_path / "pcm.raw"
+    with AudioPlayer(command=["sh", "-c", f"cat > {out}"]) as player:
+        t = np.arange(512, dtype=np.float32) / 48828.0
+        sig = (0.25 * np.sin(2 * np.pi * 1000.0 * t)).astype(np.float32)
+        player.play(sig[:256])
+        player.play(sig[256:])
+    pcm = np.frombuffer(out.read_bytes(), "<i2").astype(np.float32) / 32767.0
+    np.testing.assert_allclose(pcm, sig, atol=1.0 / 32767.0)
