@@ -118,7 +118,15 @@ def make_awpu_step(
         # --- MIMO heatmap worker (mimo.cpp:97-151)
         if enable_mimo:
             w = mimo_w if mask is None else mimo_w * mask[:, None]
-            beam = dl.das_beam(window, w, axis_name=axis_name)
+            if dsp.compute == "bfloat16":
+                beam = dl.das_beam(
+                    window.astype(jnp.bfloat16),
+                    w.astype(jnp.bfloat16),
+                    precision=jax.lax.Precision.DEFAULT,
+                    axis_name=axis_name,
+                )
+            else:
+                beam = dl.das_beam(window, w, axis_name=axis_name)
             tb = beam.shape[-1]
             powers = dl.das_power(
                 beam, use_bandpass=dsp.use_bandpass, divisor=tb * n_active

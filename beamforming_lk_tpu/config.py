@@ -59,6 +59,12 @@ class DspConfig:
     fir_phases: int = 101        # fractional-delay quantization (0.01 steps)
     use_bandpass: bool = True    # 3-tap MA bandpass before power
     normalization: float = float(2 ** 23)  # int24 -> float scale (pipeline.h:25)
+    # Matmul input dtype for the MIMO heatmap contraction: "float32"
+    # (full-precision parity path) or "bfloat16" (~6x faster on the MXU,
+    # <=~3e-3 relative error on heatmap powers — well inside the
+    # reference's own -Ofast float32 envelope).  Tracker/MISO beams stay
+    # float32 either way.
+    compute: str = "float32"
 
     @property
     def block_seconds(self) -> float:

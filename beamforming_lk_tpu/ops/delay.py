@@ -172,8 +172,11 @@ def das_beam(window, weights, *, precision=jax.lax.Precision.HIGHEST,
     s = weights.shape[-1]
     t = tw - s
     unf = unfold_window(window, s, t)                   # [C, S, T]
+    # Accumulate in float32 regardless of input dtype (bf16 inputs run the
+    # MXU at full rate; bf16 accumulation over C*S terms would not be OK).
     beam = jnp.einsum(
-        "...dcs,cst->...dt", weights, unf, precision=precision
+        "...dcs,cst->...dt", weights, unf, precision=precision,
+        preferred_element_type=jnp.float32,
     )
     if axis_name is not None:
         beam = jax.lax.psum(beam, axis_name)

@@ -167,3 +167,26 @@ def test_scan_batch_matches_stepwise():
         np.asarray(c_pipe.last.powers), np.asarray(a.last.powers),
         rtol=2e-4, atol=1e-13,
     )
+
+
+def test_bf16_compute_close_to_f32():
+    from beamforming_lk_tpu.config import DspConfig
+
+    cfg32 = Config(mimo=MimoConfig(rows=16, columns=16),
+                   tracker=TrackerConfig(iterations=1))
+    cfg16 = Config(dsp=DspConfig(compute="bfloat16"),
+                   mimo=MimoConfig(rows=16, columns=16),
+                   tracker=TrackerConfig(iterations=1))
+    blocks = _blocks(ant.create_antenna_grid(), 3)
+    a = AwpuPipeline(cfg32, seed=5)
+    b = AwpuPipeline(cfg16, seed=5)
+    for blk in blocks:
+        oa = a.process_block(blk)
+        ob = b.process_block(blk)
+    pa = np.asarray(oa.powers, np.float64)
+    pb = np.asarray(ob.powers, np.float64)
+    # bf16 input quantization (~0.4%) squares into power: a few % on the
+    # tiny off-peak bins is expected.
+    assert np.max(np.abs(pa - pb) / np.maximum(np.abs(pa), 1e-30)) < 5e-2
+    # Peak direction unchanged.
+    assert int(np.argmax(pa)) == int(np.argmax(pb))
