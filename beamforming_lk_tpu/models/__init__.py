@@ -19,3 +19,17 @@ from beamforming_lk_tpu.models.tracker import (
     make_swarm_step,
     swarm_init,
 )
+from beamforming_lk_tpu.models.fusion import (
+    TargetFusion,
+    Track,
+    TrackStore,
+    position_to_gps,
+    target_rays,
+    triangulate_rays,
+)
+from beamforming_lk_tpu.models.mvdr import (
+    MvdrState,
+    make_mvdr_step,
+    mvdr_init,
+    steering_matrix,
+)

@@ -31,3 +31,20 @@ from beamforming_lk_tpu.ops.delay import (
     das_weights,
     unfold_window,
 )
+from beamforming_lk_tpu.ops.antenna import (  # noqa: F811
+    multi_array_cluster,
+    sector_masks,
+    steering_delays_np,
+)
+from beamforming_lk_tpu.ops.delay import das_weights_np, bandpass_ma
+from beamforming_lk_tpu.ops.filters import (
+    REFERENCE_BANDS,
+    bandpass_fractional_bank,
+    reference_band_banks,
+    windowed_sinc_delay,
+)
+from beamforming_lk_tpu.ops.pallas_das import (
+    das_beam_pallas,
+    delay_split_np,
+    pad_directions,
+)
