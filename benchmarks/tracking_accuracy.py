@@ -1,0 +1,84 @@
+"""Tracking-quality benchmark: angular accuracy + convergence time.
+
+The reference has no quantitative tracker evaluation (its validation is
+visual, SURVEY §4); this measures what matters on a synthetic ground-truth
+scenario: convergence time (blocks until a tracker is within `lock_deg`),
+steady-state angular RMSE, and track continuity for a moving source.
+
+Runs anywhere (CPU-friendly):  python benchmarks/tracking_accuracy.py
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from beamforming_lk_tpu.app import AwpuPipeline
+from beamforming_lk_tpu.config import Config, MimoConfig, TrackerConfig
+from beamforming_lk_tpu.io.synthetic import plane_wave_block
+from beamforming_lk_tpu.ops.geometry import spherical_angle
+
+
+def run_scenario(
+    n_blocks: int = 96,
+    lock_deg: float = 3.0,
+    noise_std: float = 0.05,
+    motion_deg_per_s: float = 10.0,
+    seed: int = 0,
+):
+    cfg = Config(
+        mimo=MimoConfig(rows=8, columns=8),
+        tracker=TrackerConfig(iterations=4),
+    )
+    pipe = AwpuPipeline(cfg, seed=seed, enable_mimo=False, enable_miso=False)
+    dt = cfg.dsp.block_seconds
+    rate = math.radians(motion_deg_per_s)
+
+    lock_block = None
+    errors = []
+    tracked_blocks = 0
+    for b in range(n_blocks):
+        t = b * dt
+        theta = 0.45 + 0.05 * math.sin(2 * math.pi * 0.5 * t)
+        phi = 1.0 + rate * t
+        block = plane_wave_block(
+            pipe.points, [(theta, phi, 5000.0)], b * cfg.dsp.block_size,
+            cfg.dsp.block_size, cfg.array, noise_std=noise_std,
+        )
+        pipe.process_block(block)
+        tgts = pipe.targets()
+        if not tgts:
+            continue
+        err = min(
+            float(spherical_angle(tg["theta"], tg["phi"], theta, phi))
+            for tg in tgts
+        )
+        if math.degrees(err) < lock_deg:
+            if lock_block is None:
+                lock_block = b
+            tracked_blocks += 1
+            errors.append(math.degrees(err))
+    steady = errors[len(errors) // 2 :]
+    return {
+        "blocks": n_blocks,
+        "lock_block": lock_block,
+        "lock_time_ms": None if lock_block is None else round(lock_block * dt * 1e3, 1),
+        "tracked_fraction": round(tracked_blocks / n_blocks, 3),
+        "steady_rmse_deg": round(float(np.sqrt(np.mean(np.square(steady)))), 3)
+        if steady else None,
+        "steady_p95_deg": round(float(np.percentile(steady, 95)), 3) if steady else None,
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(run_scenario(), indent=2))

@@ -101,3 +101,31 @@ def test_swarm_state_shapes():
     assert state.trackers.theta.shape == (TCFG.n_trackers,)
     assert not bool(np.asarray(state.tracking).any())
     assert (np.asarray(state.seekers.theta) <= TCFG.theta_limit + 1e-6).all()
+
+
+def test_two_sources_both_tracked():
+    """Two simultaneous sources (within 10 dB) are tracked to sub-degree
+    accuracy — the reference's headline multi-tracker capability
+    (TRACKER_MAX 10, gradient_ascend.h:28)."""
+    import numpy as np
+
+    from beamforming_lk_tpu.app import AwpuPipeline
+    from beamforming_lk_tpu.config import Config, MimoConfig, TrackerConfig
+    from beamforming_lk_tpu.io.synthetic import plane_wave_block
+    from beamforming_lk_tpu.ops.geometry import spherical_angle
+
+    cfg = Config(mimo=MimoConfig(rows=8, columns=8),
+                 tracker=TrackerConfig(iterations=4))
+    pipe = AwpuPipeline(cfg, seed=0, enable_mimo=False, enable_miso=False)
+    s1 = (0.4, 0.8, 4000.0)
+    s2 = (0.7, 3.5, 6500.0)
+    for b in range(16):
+        pipe.process_block(
+            plane_wave_block(pipe.points, [s1, s2], b * 256, 256, cfg.array,
+                             noise_std=0.02)
+        )
+    tgts = pipe.targets()
+    d1 = min(float(spherical_angle(t["theta"], t["phi"], *s1[:2])) for t in tgts)
+    d2 = min(float(spherical_angle(t["theta"], t["phi"], *s2[:2])) for t in tgts)
+    assert np.degrees(d1) < 2.0, np.degrees(d1)
+    assert np.degrees(d2) < 2.0, np.degrees(d2)
