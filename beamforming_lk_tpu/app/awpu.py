@@ -19,7 +19,6 @@ make every shard agree bit-for-bit).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

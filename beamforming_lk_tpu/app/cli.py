@@ -131,7 +131,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     from beamforming_lk_tpu.config import (
-        Config, DspConfig, MimoConfig, TrackerConfig,
+        Config, MimoConfig, TrackerConfig,
     )
     from beamforming_lk_tpu.app.control import ControlUnit
 

@@ -16,7 +16,6 @@ import itertools
 import math
 from typing import List, Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
