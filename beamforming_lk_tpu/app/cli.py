@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="NDJSON sink when MQTT is unavailable")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax profiler trace of the run")
+    p.add_argument("--save-state", default=None, metavar="FILE.npz",
+                   help="checkpoint pipeline state at exit")
+    p.add_argument("--load-state", default=None, metavar="FILE.npz",
+                   help="resume pipeline state at startup")
     p.add_argument("--gps", nargs=3, type=float, default=(57.76, 16.68, 0.0),
                    metavar=("LAT", "LON", "ALT"))
     return p
@@ -156,6 +160,12 @@ def main(argv=None) -> int:
         circle_mask=args.aesthetic,
         channels=args.channels,
     )
+    if args.load_state:
+        for i, pipe in enumerate(unit.pipelines):
+            pipe.restore(
+                args.load_state if len(unit.pipelines) == 1
+                else f"{args.load_state}.{i}"
+            )
     if args.steer is not None:
         for pipe in unit.pipelines:
             pipe.steer(math.radians(args.steer[0]), math.radians(args.steer[1]))
@@ -192,6 +202,12 @@ def main(argv=None) -> int:
             display=args.display,
             verbose=args.verbose,
         )
+    if args.save_state:
+        for i, pipe in enumerate(unit.pipelines):
+            pipe.save(
+                args.save_state if len(unit.pipelines) == 1
+                else f"{args.save_state}.{i}"
+            )
     if args.fps or args.verbose:
         import json
 

@@ -112,3 +112,31 @@ def test_sharded_streaming_step_matches_dense():
 
     ang = float(spherical_angle(th, ph, 0.4, 1.0))
     assert ang < np.radians(12.0)
+
+
+def test_16_array_channel_sharded_heatmap():
+    """BASELINE config 4: 16 arrays (1024 mics) channel-sharded over the
+    mesh, fused into one coherent aperture; sharded powers match dense."""
+    dcfg = DspConfig(shift_range=192, history=1024)
+    mcfg = MimoConfig(rows=8, columns=8)
+    points = ant.multi_array_cluster(1024)
+    model = mm.make_mimo_model(points, mcfg, dcfg, ACFG)
+    block = plane_wave_block(
+        points, [(0.3, 0.6, 3000.0)], 0, dcfg.block_size, ACFG, noise_std=0.02
+    )
+    hist = rg.ring_push(rg.ring_init(1024, dcfg.history), jnp.asarray(block))
+    window = rg.ring_window(hist, dcfg.block_size, dcfg.shift_range, model.taps)
+
+    want = np.asarray(mm.mimo_power(window, model))
+
+    mesh = pm.make_mesh((8, 1))
+    f = make_sharded_das_power(mesh, use_bandpass=True)
+    got = np.asarray(
+        f(shard_window(window, mesh), shard_weights(model.weights, mesh))
+    )
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=1e-13)
+    # Peak still lands on the source through 8-way channel sharding.
+    d = int(np.argmax(got))
+    from beamforming_lk_tpu.ops.geometry import spherical_angle
+
+    assert float(spherical_angle(model.theta[d], model.phi[d], 0.3, 0.6)) < np.radians(15)
