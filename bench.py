@@ -198,9 +198,17 @@ def main():
     variants = {
         "dense_f32_highest": (dense_f32, (weights,)),
         "dense_bf16": (dense_bf16, (weights_bf16,)),
-        "pallas_f32": (pallas_f32, (shift, tapw)),
-        "pallas_bf16": (pallas_bf16, (shift, tapw)),
     }
+    # The Pallas kernel variants (pallas_f32 / pallas_bf16 above) are
+    # EXCLUDED: this toolchain's Mosaic compiler hangs indefinitely on the
+    # kernel (wedging the shared remote-compile helper for ~1 h), both with
+    # dynamic roll amounts and with the static-roll chunked-grid v2.  The
+    # kernel stays interpret-mode verified (tests/test_pallas_das.py);
+    # dense_bf16 already runs at ~2/3 of the chip's bf16 peak, so the
+    # headline is unaffected.  Set BENCH_PALLAS=1 to try anyway.
+    if os.environ.get("BENCH_PALLAS"):
+        variants["pallas_f32"] = (pallas_f32, (shift, tapw))
+        variants["pallas_bf16"] = (pallas_bf16, (shift, tapw))
     results = _RESULTS
     ref_powers = None
     for name, (fn, params) in variants.items():
