@@ -188,6 +188,9 @@ def make_awpu_step(
         # The heatmap stencil is large (D*C*S floats); it must be a runtime
         # argument — a closed-over concrete array would be baked into the
         # compiled program as a literal constant.
+        # (No donation: state pytrees can alias leaves — e.g. zero-filled
+        # particle fields share a buffer — and donating aliased leaves is an
+        # error.  The ring history is small, so the copy is negligible.)
         jitted = jax.jit(_step)
         jitted_scan = jax.jit(_scan)
 
