@@ -324,6 +324,9 @@ class AwpuPipeline:
         self.mesh = mesh
         self.channel_mask = channel_mask
         self.heatmap_mode = heatmap_mode
+        self._enable_mimo = enable_mimo and heatmap_mode == "das"
+        self._enable_tracker = enable_tracker
+        self._enable_miso = enable_miso
         self.step = make_awpu_step(
             self.points,
             cfg,
@@ -387,6 +390,40 @@ class AwpuPipeline:
         self.state, stacked = self.step.scan(self.state, blocks)
         self.last = jax.tree.map(lambda x: x[-1], stacked)
         return stacked
+
+    def calibrate(self, blocks=None, apply_gains: bool = False) -> "object":
+        """Auto-calibrate from sample blocks and rebuild the step with the
+        resulting channel mask (AWProcessingUnit::calibrate,
+        aw_processing_unit.cpp:102-212: the reference waits for a full ring
+        — 4 barriers — snapshots it, and masks dead/hot mics).
+
+        ``blocks``: iterable of [C, T] blocks to fill the ring with (defaults
+        to whatever history is already carried).  ``apply_gains`` folds the
+        per-channel power-correction gains into the mask (the reference
+        computes them but never applies them).  Returns the
+        CalibrationResult.
+        """
+        from beamforming_lk_tpu.models.calibration import calibrate as _cal
+
+        if blocks is not None:
+            for b in blocks:
+                self.process_block(b)
+        result = _cal(np.asarray(self.state.history))
+        mask = np.asarray(result.mask, np.float32)
+        if apply_gains:
+            # gains are power corrections; beam amplitudes scale by sqrt.
+            mask = mask * np.sqrt(np.asarray(result.gains, np.float32))
+        self.channel_mask = mask
+        self.step = make_awpu_step(
+            self.points,
+            self.cfg,
+            channel_mask=mask,
+            mesh=self.mesh,
+            enable_mimo=self._enable_mimo,
+            enable_tracker=self._enable_tracker,
+            enable_miso=self._enable_miso,
+        )
+        return result
 
     def steer(self, theta: float, phi: float) -> None:
         """Pin the MISO listener (click-to-steer; aw_processing_unit.cpp:261-265)."""

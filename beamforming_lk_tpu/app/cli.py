@@ -71,6 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="NDJSON sink when MQTT is unavailable")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax profiler trace of the run")
+    p.add_argument("--calibrate", action="store_true",
+                   help="auto-calibrate channel masks from the first blocks "
+                        "(the reference's connect-time calibration)")
     p.add_argument("--save-state", default=None, metavar="FILE.npz",
                    help="checkpoint pipeline state at exit")
     p.add_argument("--load-state", default=None, metavar="FILE.npz",
@@ -190,6 +193,18 @@ def main(argv=None) -> int:
     from beamforming_lk_tpu.utils.profiling import trace
 
     sources = make_sources(args, cfg, unit.pipelines)
+    if args.calibrate:
+        # The reference waits 4 barriers (a full ring) before calibrating.
+        n_cal = cfg.dsp.history // cfg.dsp.block_size
+        for pipe, src in zip(unit.pipelines, sources):
+            import itertools as _it
+
+            result = pipe.calibrate(list(_it.islice(src, n_cal)))
+            if args.verbose:
+                print(
+                    f"calibration: {int(np.asarray(result.usable))}/"
+                    f"{len(np.asarray(result.mask))} channels usable"
+                )
     with trace(args.profile):
         summary = unit.run(
             sources,

@@ -190,3 +190,26 @@ def test_bf16_compute_close_to_f32():
     assert np.max(np.abs(pa - pb) / np.maximum(np.abs(pa), 1e-30)) < 5e-2
     # Peak direction unchanged.
     assert int(np.argmax(pa)) == int(np.argmax(pb))
+
+
+def test_auto_calibration_masks_dead_channel():
+    """Startup auto-calibration (the reference's connect-time calibrate):
+    a dead mic is detected from the first blocks and masked out of the
+    rebuilt step; the heatmap peak survives."""
+    cfg = Config(mimo=MimoConfig(rows=16, columns=16),
+                 tracker=TrackerConfig(iterations=1))
+    pipe = AwpuPipeline(cfg, seed=2, enable_tracker=False, enable_miso=False)
+    blocks = _blocks(pipe.points, 4)
+    dead = 21
+    for b in blocks:
+        b[dead] = 0.0  # dead mic
+    result = pipe.calibrate(blocks)
+    mask = np.asarray(result.mask)
+    assert mask[dead] == 0.0
+    assert mask.sum() >= 60  # the healthy mics survive
+    out = pipe.process_block(_blocks(pipe.points, 5)[-1])
+    from beamforming_lk_tpu.models.mimo import make_mimo_grid
+
+    theta, phi = make_mimo_grid(cfg.mimo)
+    d = int(np.argmax(np.asarray(out.powers)))
+    assert float(spherical_angle(theta[d], phi[d], SRC[0], SRC[1])) < np.radians(10)
