@@ -53,6 +53,7 @@ def receive_blocks(
     block_size: int = 256,
     columns: int = 8,
     column_flip: bool = True,
+    resilient: bool = False,
 ) -> Iterator[np.ndarray]:
     """Yield [C, T] float blocks from the socket (pure-Python path).
 
@@ -60,14 +61,26 @@ def receive_blocks(
     is tolerated the same way (the block simply shears — no resync), and a
     counter gap is observable via :func:`packets.parse_packets` if callers
     need it.
+
+    ``resilient=True`` upgrades on the reference (which prints and breaks
+    on any receive error, pipeline.cpp:264-267): a timeout or short packet
+    drops the partial block and resumes listening — the FPGA link can
+    disappear and come back without killing the pipeline.
     """
+    import socket as _socket
+
     buf = bytearray(block_size * pk.PACKET_SIZE)
     view = memoryview(buf)
     while True:
-        for i in range(block_size):
-            n = sock.recv_into(view[i * pk.PACKET_SIZE :], pk.PACKET_SIZE)
-            if n != pk.PACKET_SIZE:
-                raise IOError(f"short packet: {n} bytes")
+        try:
+            for i in range(block_size):
+                n = sock.recv_into(view[i * pk.PACKET_SIZE :], pk.PACKET_SIZE)
+                if n != pk.PACKET_SIZE:
+                    raise IOError(f"short packet: {n} bytes")
+        except (_socket.timeout, IOError):
+            if not resilient:
+                raise
+            continue  # drop the partial block, resync on the next one
         block, _counters = pk.parse_packets(
             np.frombuffer(buf, np.uint8), n_sensors, columns, column_flip
         )

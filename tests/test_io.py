@@ -172,3 +172,39 @@ def test_audio_player_pipes_pcm(tmp_path):
         player.play(sig[256:])
     pcm = np.frombuffer(out.read_bytes(), "<i2").astype(np.float32) / 32767.0
     np.testing.assert_allclose(pcm, sig, atol=1.0 / 32767.0)
+
+
+def test_udp_resilient_resync():
+    """resilient=True survives a link dropout: the partial block is dropped
+    and reception resumes (the reference breaks on any receive error)."""
+    import socket as socklib
+
+    sock = udp.open_receiver("127.0.0.1", 0, timeout=0.2)
+    port = sock.getsockname()[1]
+    rng = np.random.default_rng(7)
+    b1 = (rng.integers(-(2**20), 2**20, size=(64, 8)) / 2**23).astype(np.float32)
+    b2 = (rng.integers(-(2**20), 2**20, size=(64, 8)) / 2**23).astype(np.float32)
+
+    stream = udp.receive_blocks(sock, 64, block_size=8, resilient=True)
+    # Send only half a block, let the timeout drop it, then a full block.
+    wire1 = pk.build_packets(b1)
+    tx = socklib.socket(socklib.AF_INET, socklib.SOCK_DGRAM)
+    for i in range(4):
+        tx.sendto(wire1[i * pk.PACKET_SIZE : (i + 1) * pk.PACKET_SIZE],
+                  ("127.0.0.1", port))
+    import threading, time
+
+    def send_full():
+        time.sleep(0.5)  # after the timeout fires
+        wire2 = pk.build_packets(b2)
+        for i in range(8):
+            tx.sendto(wire2[i * pk.PACKET_SIZE : (i + 1) * pk.PACKET_SIZE],
+                      ("127.0.0.1", port))
+
+    t = threading.Thread(target=send_full)
+    t.start()
+    got = next(stream)
+    t.join()
+    sock.close()
+    tx.close()
+    np.testing.assert_allclose(got, b2, atol=1.0 / 2**23)
