@@ -123,6 +123,8 @@ class ControlUnit:
         rear-mounted arrays); ``circle_mask`` blanks pixels outside the FOV
         disc (the ``--aesthetic`` circular mask,
         aw_control_unit.cpp:320-330)."""
+        from beamforming_lk_tpu.utils.overlay import overlay_targets
+
         flip = self.flip if flip is None else flip
         circle_mask = self.circle_mask if circle_mask is None else circle_mask
         tiles = []
@@ -138,7 +140,19 @@ class ControlUnit:
                 r = (2.0 * xx / (n - 1) - 1.0) ** 2 + (2.0 * yy / (n - 1) - 1.0) ** 2
                 rgb = np.where(r[..., None] <= 1.0, rgb, 0).astype(np.uint8)
             if flip:
-                rgb = rgb[:, ::-1]
+                rgb = np.ascontiguousarray(rgb[:, ::-1])
+            # Tracker squares / oldest crosshair / MISO circle
+            # (gradient_ascend.cpp:157-293, miso.cpp:57-77).
+            targets = pipe.targets()
+            miso_dir = None
+            if pipe.last is not None and getattr(pipe, "_enable_miso", False):
+                p = pipe.state.miso.particle
+                miso_dir = (float(np.asarray(p.theta)[0]), float(np.asarray(p.phi)[0]))
+            if targets or miso_dir is not None:
+                overlay_targets(
+                    rgb, targets, self.cfg.mimo.fov_degrees,
+                    miso_direction=miso_dir, flip=flip,
+                )
             tiles.append(rgb)
         self.fps.tick()
         return np.concatenate(tiles, axis=1) if len(tiles) > 1 else tiles[0]

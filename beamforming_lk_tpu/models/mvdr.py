@@ -111,10 +111,33 @@ def make_mvdr_step(
     v = jnp.asarray(steering_matrix(points, theta, phi, freqs, array_cfg))
     window_fn = jnp.asarray(np.hanning(frame_size).astype(np.float32))
     mask = None if channel_mask is None else jnp.asarray(channel_mask, jnp.float32)
+
+    impl = _make_mvdr_impl(
+        frame_size, hop, window_fn, mask, ema_alpha, diagonal_loading
+    )
     bins_j = jnp.asarray(bins)
+    binw = jnp.ones((len(bins),), jnp.float32)
 
     @jax.jit
     def step(state: MvdrState, block):
+        return impl(state, block, v, bins_j, binw)
+
+    return step, len(bins)
+
+
+def _make_mvdr_impl(frame_size, hop, window_fn, mask, ema_alpha,
+                    diagonal_loading, axis_name=None):
+    """Core per-block update over a (possibly sharded) bin subset.
+
+    ``v_local`` [F_loc, D, C], ``bins_local`` [F_loc] rfft indices,
+    ``binw_local`` [F_loc] per-bin weights (0 for padding bins).  With
+    ``axis_name`` the bins are a mesh shard: each shard STFTs the (tiny,
+    replicated) block, solves only its own bins' Cholesky systems, and the
+    Capon powers psum across shards — bins are embarrassingly parallel, so
+    this scales the heaviest MVDR cost (F Cholesky factorizations) linearly.
+    """
+
+    def impl(state: MvdrState, block, v_local, bins_local, binw_local):
         c, t = block.shape
         n_frames = (t - frame_size) // hop + 1
         starts = jnp.arange(n_frames) * hop
@@ -124,12 +147,12 @@ def make_mvdr_step(
         if mask is not None:
             frames = frames * mask[None, :, None]
         spec = jnp.fft.rfft(frames * window_fn[None, None, :], axis=-1)
-        snaps = spec[:, :, bins_j]                  # [M, C, F]
-        snaps = jnp.transpose(snaps, (2, 1, 0))     # [F, C, M]
+        snaps = spec[:, :, bins_local]              # [M, C, F_loc]
+        snaps = jnp.transpose(snaps, (2, 1, 0))     # [F_loc, C, M]
         # Per-bin sample covariance of this block.
         r_new = jnp.einsum(
             "fcm,fdm->fcd", snaps, jnp.conj(snaps)
-        ) / n_frames                                 # [F, C, C]
+        ) / n_frames                                 # [F_loc, C, C]
         warm = state.count > 0
         alpha = jnp.where(warm, ema_alpha, 1.0).astype(jnp.float32)
         cov = (1.0 - alpha) * state.cov + alpha * r_new
@@ -142,13 +165,89 @@ def make_mvdr_step(
 
         # Capon spectrum: P = 1 / (v^H R^-1 v), batched Cholesky solve.
         chol = jax.lax.linalg.cholesky(r_loaded)            # [F, C, C]
-        vt = jnp.transpose(v, (0, 2, 1))                    # [F, C, D]
+        vt = jnp.transpose(v_local, (0, 2, 1))              # [F, C, D]
         y = jax.lax.linalg.triangular_solve(
             chol, vt, left_side=True, lower=True
         )                                                   # L y = v
-        denom = jnp.sum(jnp.real(y * jnp.conj(y)), axis=1)  # [F, D] = v^H R^-1 v
-        powers = jnp.sum(1.0 / jnp.maximum(denom, 1e-20), axis=0)  # [D]
+        denom = jnp.sum(jnp.real(y * jnp.conj(y)), axis=1)  # [F, D]
+        per_bin = binw_local[:, None] / jnp.maximum(denom, 1e-20)
+        powers = jnp.sum(per_bin, axis=0)                   # [D]
+        if axis_name is not None:
+            powers = jax.lax.psum(powers, axis_name)
         new_state = MvdrState(cov=cov, count=state.count + 1)
         return new_state, powers
 
-    return step, len(bins)
+    return impl
+
+
+def make_sharded_mvdr_step(
+    points,
+    theta,
+    phi,
+    mesh,
+    axis_name: str = "dir",
+    array_cfg: ArrayConfig = ArrayConfig(),
+    frame_size: int = 64,
+    hop: int = 32,
+    f_low: float = 550.0,
+    f_high: float = 9000.0,
+    ema_alpha: float = 0.1,
+    diagonal_loading: float = 1e-3,
+    channel_mask=None,
+):
+    """Bin-sharded MVDR (the "STFT bins across the pod" stretch config).
+
+    Returns ``(step, state)``: bins pad up to the shard count (padding bins
+    carry zero weight), the per-bin covariance EMA lives sharded on its
+    shard, and only the [D] Capon powers cross the mesh (one psum).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_shards = dict(zip(mesh.axis_names, mesh.devices.shape))[axis_name]
+    bins = select_bins(frame_size, array_cfg.sample_rate, f_low, f_high)
+    pad = (-len(bins)) % n_shards
+    bins_p = np.concatenate([bins, np.repeat(bins[-1:], pad)])
+    binw_p = np.concatenate(
+        [np.ones(len(bins), np.float32), np.zeros(pad, np.float32)]
+    )
+    freqs = np.fft.rfftfreq(frame_size, 1.0 / array_cfg.sample_rate)[bins_p]
+    v = steering_matrix(points, theta, phi, freqs, array_cfg)
+    window_fn = jnp.asarray(np.hanning(frame_size).astype(np.float32))
+    mask = None if channel_mask is None else jnp.asarray(channel_mask, jnp.float32)
+
+    impl = _make_mvdr_impl(
+        frame_size, hop, window_fn, mask, ema_alpha, diagonal_loading,
+        axis_name=axis_name,
+    )
+    f_pad = len(bins_p)
+    c = np.asarray(points).shape[1]
+
+    state_spec = MvdrState(cov=P(axis_name, None, None), count=P())
+    sharded = jax.shard_map(
+        impl,
+        mesh=mesh,
+        in_specs=(state_spec, P(None, None), P(axis_name, None, None),
+                  P(axis_name), P(axis_name)),
+        out_specs=(state_spec, P()),
+    )
+    shard = NamedSharding(mesh, P(axis_name))
+    v_dev = jax.device_put(
+        jnp.asarray(v), NamedSharding(mesh, P(axis_name, None, None))
+    )
+    bins_dev = jax.device_put(jnp.asarray(bins_p), shard)
+    binw_dev = jax.device_put(jnp.asarray(binw_p), shard)
+    jitted = jax.jit(sharded)
+
+    def step(state, block):
+        return jitted(state, block, v_dev, bins_dev, binw_dev)
+
+    state = MvdrState(
+        cov=jax.device_put(
+            jnp.broadcast_to(
+                jnp.eye(c, dtype=jnp.complex64), (f_pad, c, c)
+            ).astype(jnp.complex64),
+            NamedSharding(mesh, P(axis_name, None, None)),
+        ),
+        count=jnp.zeros((), jnp.int32),
+    )
+    return step, state

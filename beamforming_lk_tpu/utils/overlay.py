@@ -1,0 +1,107 @@
+"""Target overlays on rendered heatmap frames.
+
+Re-design of the reference tracker's draw path
+(``src/dsp/gradient_ascend.cpp:157-293``: tracker squares, a crosshair on
+the oldest tracker, a KF-smoothed lead circle) and the MISO direction circle
+(``src/dsp/miso.cpp:57-77``) — as pure-numpy drawing on the RGB frame, no
+OpenCV required.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+
+TRACKER_COLOR = (255, 255, 255)
+OLDEST_COLOR = (255, 0, 0)
+LEAD_COLOR = (0, 255, 255)
+MISO_COLOR = (255, 255, 0)
+
+
+def direction_to_pixel(
+    theta: float, phi: float, size: int, fov_degrees: float = 180.0
+):
+    """(theta, phi) -> fractional (row, col) on the sin-projected heatmap
+    (inverse of models/mimo.make_mimo_grid's pixel -> direction map)."""
+    half = math.sin(math.radians(fov_degrees) / 2.0)
+    x = math.sin(theta) * math.cos(phi)
+    y = math.sin(theta) * math.sin(phi)
+    sep = half / (size / 2.0)
+    col = (x + size * sep / 2.0 - sep / 2.0) / sep
+    row = (y + size * sep / 2.0 - sep / 2.0) / sep
+    return row, col
+
+
+def _clip(v, lo, hi):
+    return max(lo, min(hi, v))
+
+
+def draw_rect(frame: np.ndarray, row: int, col: int, half: int, color) -> None:
+    """Hollow square outline centered at (row, col), in place."""
+    h, w = frame.shape[:2]
+    r0, r1 = _clip(row - half, 0, h - 1), _clip(row + half, 0, h - 1)
+    c0, c1 = _clip(col - half, 0, w - 1), _clip(col + half, 0, w - 1)
+    frame[r0, c0 : c1 + 1] = color
+    frame[r1, c0 : c1 + 1] = color
+    frame[r0 : r1 + 1, c0] = color
+    frame[r0 : r1 + 1, c1] = color
+
+
+def draw_crosshair(frame: np.ndarray, row: int, col: int, arm: int, color) -> None:
+    h, w = frame.shape[:2]
+    r = _clip(row, 0, h - 1)
+    c = _clip(col, 0, w - 1)
+    frame[r, _clip(col - arm, 0, w - 1) : _clip(col + arm, 0, w - 1) + 1] = color
+    frame[_clip(row - arm, 0, h - 1) : _clip(row + arm, 0, h - 1) + 1, c] = color
+
+
+def draw_circle(frame: np.ndarray, row: int, col: int, radius: int, color) -> None:
+    h, w = frame.shape[:2]
+    yy, xx = np.mgrid[0:h, 0:w]
+    d2 = (yy - row) ** 2 + (xx - col) ** 2
+    ring = (d2 >= (radius - 1) ** 2) & (d2 <= (radius + 1) ** 2)
+    frame[ring] = color
+
+
+def overlay_targets(
+    frame: np.ndarray,
+    targets: Sequence[dict],
+    fov_degrees: float = 180.0,
+    miso_direction: Optional[tuple] = None,
+    lead_direction: Optional[tuple] = None,
+    flip: bool = False,
+) -> np.ndarray:
+    """Draw tracker markers onto an RGB frame (in place; also returned).
+
+    - square per published target (gradient_ascend.cpp:181-233)
+    - crosshair on the oldest target (the reference's 'locked' marker)
+    - optional circle at the MISO steer direction (miso.cpp:57-77)
+    - optional circle at a KF lead direction (gradient_ascend.cpp:242-246)
+    """
+    size = frame.shape[0]
+    scale = size  # markers scale with frame size
+
+    def to_px(theta, phi):
+        row, col = direction_to_pixel(theta, phi, size, fov_degrees)
+        if flip:
+            col = size - 1 - col
+        return int(round(row)), int(round(col))
+
+    oldest = None
+    for t in targets:
+        row, col = to_px(t["theta"], t["phi"])
+        draw_rect(frame, row, col, max(2, scale // 32), TRACKER_COLOR)
+        if oldest is None or t["start"] < oldest["start"]:
+            oldest = t
+    if oldest is not None:
+        row, col = to_px(oldest["theta"], oldest["phi"])
+        draw_crosshair(frame, row, col, max(3, scale // 16), OLDEST_COLOR)
+    if lead_direction is not None:
+        row, col = to_px(*lead_direction)
+        draw_circle(frame, row, col, max(3, scale // 24), LEAD_COLOR)
+    if miso_direction is not None:
+        row, col = to_px(*miso_direction)
+        draw_circle(frame, row, col, max(4, scale // 20), MISO_COLOR)
+    return frame

@@ -208,3 +208,40 @@ def test_udp_resilient_resync():
     sock.close()
     tx.close()
     np.testing.assert_allclose(got, b2, atol=1.0 / 2**23)
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "beamforming_lk_tpu.io.native", fromlist=["load_ingest_library"]
+    ).load_ingest_library(),
+    reason="no C toolchain to build libingest.so",
+)
+def test_native_ingest_overrun_accounting():
+    """Overrunning the ring drops the oldest blocks and counts them."""
+    import time
+
+    from beamforming_lk_tpu.io.native import NativeIngest
+
+    rng = np.random.default_rng(9)
+    blocks = [
+        (rng.integers(-(2**20), 2**20, size=(64, 8)) / 2**23).astype(np.float32)
+        for _ in range(8)
+    ]
+    with NativeIngest("127.0.0.1", 0, n_sensors=64, block_size=8,
+                      n_slots=4) as ingest:
+        udp.send_blocks(blocks, "127.0.0.1", ingest.port)
+        # Let the producer fill (and overrun) the 4-slot ring.
+        deadline = time.time() + 3.0
+        while time.time() < deadline:
+            if ingest.stats()["blocks_produced"] == 8:
+                break
+            time.sleep(0.05)
+        stats = ingest.stats()
+        assert stats["blocks_produced"] == 8
+        assert stats["blocks_dropped"] >= 4
+        # The survivors read out in order, and are the newest ones.
+        seqs = []
+        for seq, block in ingest.blocks(timeout=0.3):
+            seqs.append(seq)
+            np.testing.assert_allclose(block, blocks[seq], atol=1.0 / 2**23)
+        assert seqs == sorted(seqs) and seqs[-1] == 7

@@ -75,3 +75,32 @@ def test_mask_zeroes_channels():
     d = int(np.argmax(powers))
     ang = float(spherical_angle(theta[d], phi[d], src[0], src[1]))
     assert ang < np.radians(15)
+
+
+def test_bin_sharded_mvdr_matches_dense():
+    """Bins sharded over the mesh (the stretch config): sharded Capon
+    powers match the single-device path."""
+    from beamforming_lk_tpu.models.mvdr import make_sharded_mvdr_step
+    from beamforming_lk_tpu.parallel import mesh as pm
+
+    src = (0.5, 1.2, 4000.0)
+    points = ant.create_antenna_grid()
+    theta, phi = make_mimo_grid(MimoConfig(rows=12, columns=12))
+
+    dense_step, n_bins = make_mvdr_step(points, theta, phi, ACFG)
+    dense_state = mvdr_init(n_bins, 64)
+
+    mesh = pm.make_mesh((1, 8))
+    sh_step, sh_state = make_sharded_mvdr_step(points, theta, phi, mesh)
+
+    for b in range(5):
+        block = jnp.asarray(
+            plane_wave_block(points, [src], b * 256, 256, ACFG, noise_std=0.05)
+        )
+        dense_state, dense_p = dense_step(dense_state, block)
+        sh_state, sh_p = sh_step(sh_state, block)
+
+    a = np.asarray(dense_p, np.float64)
+    b = np.asarray(sh_p, np.float64)
+    np.testing.assert_allclose(b, a, rtol=5e-4)
+    assert int(np.argmax(a)) == int(np.argmax(b))

@@ -80,3 +80,38 @@ def test_metrics():
     f = FpsMeter()
     f.tick(0.0)
     assert abs(f.tick(0.1) - 10.0) < 1e-6
+
+
+def test_direction_to_pixel_round_trip():
+    """direction_to_pixel inverts the heatmap grid construction."""
+    from beamforming_lk_tpu.config import MimoConfig
+    from beamforming_lk_tpu.models.mimo import make_mimo_grid
+    from beamforming_lk_tpu.utils.overlay import direction_to_pixel
+
+    cfg = MimoConfig(rows=16, columns=16)
+    theta, phi = make_mimo_grid(cfg)
+    for d in (0, 5, 37, 130, 255):
+        r, c = d // 16, d % 16
+        row, col = direction_to_pixel(float(theta[d]), float(phi[d]), 16)
+        # Skip clamped edge pixels (outside the FOV disc).
+        import numpy as np
+
+        if np.hypot(r - 7.5, c - 7.5) > 7.5:
+            continue
+        assert abs(row - r) < 0.51 and abs(col - c) < 0.51, (d, row, col, r, c)
+
+
+def test_overlay_draws_markers():
+    import numpy as np
+
+    from beamforming_lk_tpu.utils.overlay import overlay_targets
+
+    frame = np.zeros((64, 64, 3), np.uint8)
+    targets = [
+        {"theta": 0.3, "phi": 0.5, "start": 2.0},
+        {"theta": 0.6, "phi": 2.5, "start": 1.0},
+    ]
+    out = overlay_targets(frame, targets, miso_direction=(0.2, 1.0))
+    assert out is frame
+    assert (frame == 255).any()          # markers drawn
+    assert (frame[..., 0] == 255).sum() > (frame[..., 2] == 255).sum()  # red crosshair present
