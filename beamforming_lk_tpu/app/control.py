@@ -95,13 +95,21 @@ class ControlUnit:
             for pipe, pos in zip(self.pipelines, array_positions):
                 self.fusion.add_array(pipe, pos)
 
-    def process(self, blocks: Sequence[np.ndarray], now: float = 0.0):
-        """Feed one [C, T] block per array; returns per-array outputs."""
+    def process(self, blocks: Sequence[np.ndarray], now: float = 0.0,
+                sync: bool = True):
+        """Feed one [C, T] block per array; returns per-array outputs.
+
+        ``sync=False`` leaves the dispatch asynchronous — the device queue
+        absorbs host jitter (the TPU-native replacement for the reference's
+        condvar barrier tolerance; SURVEY §7 "real-time host-device
+        feeding").  Latency metrics are only meaningful on synced blocks.
+        """
         self.metrics.start_block()
         outs = [p.process_block(b) for p, b in zip(self.pipelines, blocks)]
-        # Force completion for honest latency accounting.
-        for o in outs:
-            np.asarray(o.powers)
+        if sync:
+            # Force completion for honest latency accounting.
+            for o in outs:
+                np.asarray(o.powers)
         self.metrics.end_block()
         if self.fusion is not None:
             best = self.fusion.step(now)
@@ -180,6 +188,7 @@ class ControlUnit:
         record_avi: Optional[str] = None,
         display: bool = False,
         verbose: bool = False,
+        sync_every: int = 1,
     ) -> dict:
         """Drive block iterators (one per array) to completion.
 
@@ -212,7 +221,9 @@ class ControlUnit:
                 except StopIteration:
                     break
                 now = i * self.cfg.dsp.block_seconds
-                outs = self.process(blocks, now=now)
+                outs = self.process(
+                    blocks, now=now, sync=((i + 1) % max(sync_every, 1) == 0)
+                )
                 if wav is not None:
                     wav.write(np.asarray(outs[0].miso_beam))
                 want_frame = (
