@@ -99,11 +99,14 @@ def make_awpu_step(
     mimo_weights = dl.das_weights_np(delays, dsp.shift_range, dsp.interp, fir_bank)
 
     axis_name = CH_AXIS if (mesh is not None and CH_AXIS in mesh.axis_names) else None
+    # Probe stencil span sized from the FULL aperture (points_np before any
+    # channel sharding — min-subtraction is global under the mesh).
+    span = dl.probe_span(points_np, arr.samples_per_meter, taps, dsp.shift_range)
     swarm_impl = tk.make_swarm_step_impl(
-        cfg.tracker, dsp, arr, fir_bank, axis_name=axis_name
+        cfg.tracker, dsp, arr, fir_bank, axis_name=axis_name, probe_span=span
     )
     miso_impl = ms.make_miso_step_impl(
-        cfg.tracker, dsp, arr, fir_bank, axis_name=axis_name
+        cfg.tracker, dsp, arr, fir_bank, axis_name=axis_name, probe_span=span
     )
 
     d_total = cfg.mimo.n_directions

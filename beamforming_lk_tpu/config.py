@@ -62,9 +62,15 @@ class DspConfig:
     # Matmul input dtype for the MIMO heatmap contraction: "float32"
     # (full-precision parity path) or "bfloat16" (~6x faster on the MXU,
     # <=~3e-3 relative error on heatmap powers — well inside the
-    # reference's own -Ofast float32 envelope).  Tracker/MISO beams stay
-    # float32 either way.
+    # reference's own -Ofast float32 envelope).
     compute: str = "float32"
+    # Matmul input dtype for the tracker/MISO monopulse PROBE beams (the
+    # sequential swarm scan that dominates the fused step).  Probe powers
+    # only feed the monopulse discriminants — normalized power differences
+    # — so "bfloat16" keeps tracking accuracy (validated by
+    # benchmarks/tracking_accuracy.py) while running the probe matmuls at
+    # full MXU rate.  The MISO *audio* beam stays float32 either way.
+    probe_compute: str = "float32"
 
     @property
     def block_seconds(self) -> float:

@@ -59,6 +59,7 @@ def make_miso_step_impl(
     fir_bank=None,
     refine_steps: int = 3,
     axis_name=None,
+    probe_span=None,
 ):
     """Build the *unjitted* per-block MISO update with the array model as
     runtime operands (see :func:`make_swarm_step_impl` for the sharding
@@ -78,6 +79,13 @@ def make_miso_step_impl(
         fir_bank=bank,
         samples_per_meter=array_cfg.samples_per_meter,
         axis_name=axis_name,
+        span=probe_span,
+        compute=dsp.probe_compute,
+    )
+    span = (
+        dsp.shift_range
+        if probe_span is None
+        else min(probe_span, dsp.shift_range)
     )
 
     def step(state: MisoState, window, points, channel_mask):
@@ -102,10 +110,13 @@ def make_miso_step_impl(
             array_cfg.samples_per_meter,
             axis_name=axis_name,
         )  # [1, C]
-        w = dl.das_weights(delays, dsp.shift_range, dsp.interp, bank)
+        # Audio beam stays float32; the tight span gives identical samples
+        # (window sliced by the same constant the shift base moves).
+        w = dl.das_weights(delays, span, dsp.interp, bank)
         if channel_mask is not None:
             w = w * channel_mask[..., :, None]
-        beam = dl.das_beam(window, w, axis_name=axis_name)[0]   # [T]
+        beam_window = window[..., dsp.shift_range - span:]
+        beam = dl.das_beam(beam_window, w, axis_name=axis_name)[0]   # [T]
         return MisoState(particle=particle, tracking=state.tracking), beam
 
     return step
@@ -125,8 +136,12 @@ def make_miso_step(
     Returns ``step(state, window) -> (state, beam[T])``: 3 tracker steps at
     rate/10 (miso.cpp:39-40), then the DAS beam for the refined direction.
     """
+    taps = dl.LINEAR_TAPS if dsp.interp == "linear" else dsp.fir_taps
+    span = dl.probe_span(
+        points, array_cfg.samples_per_meter, taps, dsp.shift_range
+    )
     impl = make_miso_step_impl(
-        cfg, dsp, array_cfg, fir_bank, refine_steps=refine_steps
+        cfg, dsp, array_cfg, fir_bank, refine_steps=refine_steps, probe_span=span
     )
     points = jnp.asarray(points, jnp.float32)
     mask = None if channel_mask is None else jnp.asarray(channel_mask, jnp.float32)

@@ -131,6 +131,8 @@ def _monopulse_step(
     fir_bank,
     samples_per_meter: float,
     axis_name=None,
+    span: int | None = None,
+    compute: str = "float32",
 ):
     """One batched GradientParticle::step (gradient_ascend.cpp:30-81).
 
@@ -139,7 +141,17 @@ def _monopulse_step(
     the min-subtract and the beam accumulate become collectives, and the
     monopulse powers (computed from the psum'd beam) are identical on every
     shard.
+
+    ``span`` < ``shift_range`` shrinks the probe stencil to the aperture's
+    actual delay spread (see :func:`ops.delay.probe_span`): the window is
+    sliced by the same constant the shift base moves, so beams are
+    identical while the contraction shrinks.  ``compute="bfloat16"`` runs
+    the probe matmul with bf16 inputs / f32 accumulation.
     """
+    if span is None or span >= shift_range:
+        span = shift_range
+    else:
+        window = window[..., shift_range - span:]
     theta, phi = particles.theta, particles.phi
     pt, pp, adj_theta = quadrant_probes(theta, phi, spread)
     pt, pp = normalize_spherical(pt, pp, theta_limit)      # particle.h:24-27
@@ -148,10 +160,18 @@ def _monopulse_step(
     delays = ant.steering_delays(
         points, pt, pp, samples_per_meter, axis_name=axis_name
     )  # [P,4,C]
-    w = dl.das_weights(delays, shift_range, mode, fir_bank)
+    w = dl.das_weights(delays, span, mode, fir_bank)
     if channel_mask is not None:
         w = w * channel_mask[..., :, None]
-    beams = dl.das_beam(window, w, axis_name=axis_name)    # [P, 4, T]
+    if compute == "bfloat16":
+        beams = dl.das_beam(
+            window.astype(jnp.bfloat16),
+            w.astype(jnp.bfloat16),
+            precision=jax.lax.Precision.DEFAULT,
+            axis_name=axis_name,
+        )                                                  # [P, 4, T] (f32 acc)
+    else:
+        beams = dl.das_beam(window, w, axis_name=axis_name)    # [P, 4, T]
     t = beams.shape[-1]
     powers = dl.das_power(beams, use_bandpass=True, divisor=t)  # [P, 4]
 
@@ -218,6 +238,7 @@ def make_swarm_step_impl(
     array_cfg: ArrayConfig,
     fir_bank=None,
     axis_name=None,
+    probe_span=None,
 ):
     """Build the *unjitted* per-block swarm update with the array model as
     runtime operands.
@@ -243,6 +264,8 @@ def make_swarm_step_impl(
         fir_bank=bank,
         samples_per_meter=spm,
         axis_name=axis_name,
+        span=probe_span,
+        compute=dsp.probe_compute,
     )
 
     t_len = dsp.block_size
@@ -406,7 +429,11 @@ def make_swarm_step(
     ``window`` is the DAS window from :func:`ring_window` and ``block_index``
     an int32 block counter (the clock for tracker ages / seeker resets).
     """
-    impl = make_swarm_step_impl(cfg, dsp, array_cfg, fir_bank)
+    taps = dl.LINEAR_TAPS if dsp.interp == "linear" else dsp.fir_taps
+    span = dl.probe_span(
+        points, array_cfg.samples_per_meter, taps, dsp.shift_range
+    )
+    impl = make_swarm_step_impl(cfg, dsp, array_cfg, fir_bank, probe_span=span)
     points = jnp.asarray(points, jnp.float32)
     mask = None if channel_mask is None else jnp.asarray(channel_mask, jnp.float32)
 

@@ -29,12 +29,42 @@ across channels and directions and therefore beamform-invariant).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 LINEAR_TAPS = 2
+
+
+def probe_span(
+    points,
+    samples_per_meter: float,
+    taps: int = LINEAR_TAPS,
+    shift_range: int | None = None,
+    multiple: int = 8,
+) -> int:
+    """Tightest stencil span (in samples) covering every steering delay of
+    this aperture.
+
+    Min-subtracted steering delays are bounded by the point cloud's spatial
+    diameter (the z-spread of the rotated points, antenna.cpp:89-97), so a
+    stencil of ``ceil(diameter * fs/c) + taps`` samples — rounded up to a
+    sublane-friendly multiple — represents every physical delay.  For a
+    single 8x8 array at 2 cm pitch that is 32 instead of the default
+    ``shift_range`` of 64: slicing the DAS window to the last ``span + T``
+    samples and building weights with this span halves the contraction with
+    bit-identical beams (the integer shift base moves by the same constant
+    the window start does).
+    """
+    pts = np.asarray(points, np.float64)
+    diameter = float(np.linalg.norm(pts.max(axis=1) - pts.min(axis=1)))
+    span = int(math.ceil(diameter * samples_per_meter)) + taps
+    span = ((span + multiple - 1) // multiple) * multiple
+    if shift_range is not None:
+        span = min(span, shift_range)
+    return span
 
 
 def fractional_delay_fir_bank(

@@ -35,8 +35,12 @@ def run_scenario(
     noise_std: float = 0.05,
     motion_deg_per_s: float = 10.0,
     seed: int = 0,
+    probe_compute: str = "float32",
 ):
+    from beamforming_lk_tpu.config import DspConfig
+
     cfg = Config(
+        dsp=DspConfig(probe_compute=probe_compute),
         mimo=MimoConfig(rows=8, columns=8),
         tracker=TrackerConfig(iterations=4),
     )
@@ -81,4 +85,5 @@ def run_scenario(
 
 
 if __name__ == "__main__":
-    print(json.dumps(run_scenario(), indent=2))
+    for pc in ("float32", "bfloat16"):
+        print(pc, json.dumps(run_scenario(probe_compute=pc), indent=2))

@@ -18,17 +18,17 @@ TCFG = TrackerConfig(
 )
 
 
-def _run_blocks(sources, n_blocks, cfg=TCFG, seed=0, amplitude=1e-2):
+def _run_blocks(sources, n_blocks, cfg=TCFG, seed=0, amplitude=1e-2, dsp=DCFG):
     pts = ant.create_antenna_grid(8, 8, 0.02)
-    step = trk.make_swarm_step(pts, cfg, DCFG, ACFG)
+    step = trk.make_swarm_step(pts, cfg, dsp, ACFG)
     state = trk.swarm_init(cfg, jax.random.PRNGKey(seed))
-    hist = ring_init(64, DCFG.history)
+    hist = ring_init(64, dsp.history)
     targets = None
     for i, b in enumerate(
         synthetic_blocks(pts, sources, n_blocks, amplitude=amplitude)
     ):
         hist = ring_push(hist, b)
-        window = ring_window(hist, DCFG.block_size, DCFG.shift_range, 2)
+        window = ring_window(hist, dsp.block_size, dsp.shift_range, 2)
         state, targets = step(state, window, np.int32(i))
     return state, targets
 
@@ -43,6 +43,58 @@ def test_tracker_converges_to_source():
     d = np.degrees(
         np.asarray(spherical_angle(th, ph, src_theta, src_phi))
     )
+    assert d.min() < 10.0, f"closest tracker {d.min():.1f} deg away"
+
+
+def test_probe_span_reduction_is_exact():
+    # A probe stencil sized to the aperture (ops.delay.probe_span) must give
+    # the same beams/powers as the full shift_range stencil: the window is
+    # sliced by the same constant the integer-shift base moves.
+    import jax.numpy as jnp
+
+    from beamforming_lk_tpu.ops import delay as dl
+
+    pts = ant.create_antenna_grid(8, 8, 0.02)
+    span = dl.probe_span(pts, ACFG.samples_per_meter, 2, DCFG.shift_range)
+    assert span < DCFG.shift_range  # 8x8 @ 2 cm needs 32, not 64
+
+    rng = np.random.default_rng(7)
+    window = jnp.asarray(
+        rng.standard_normal((64, DCFG.block_size + DCFG.shift_range)),
+        jnp.float32,
+    )
+    particles = trk._empty_particles(6)._replace(
+        theta=jnp.asarray(rng.uniform(0.0, 1.0, 6), jnp.float32),
+        phi=jnp.asarray(rng.uniform(0.0, 2 * np.pi, 6), jnp.float32),
+    )
+    active = jnp.ones((6,), bool)
+    kwargs = dict(
+        window=window,
+        points=jnp.asarray(pts),
+        channel_mask=None,
+        rate=0.02,
+        spread=math.radians(2.0),
+        theta_limit=math.radians(60.0),
+        shift_range=DCFG.shift_range,
+        mode="linear",
+        fir_bank=None,
+        samples_per_meter=ACFG.samples_per_meter,
+    )
+    full = trk._monopulse_step(particles, active, **kwargs)
+    tight = trk._monopulse_step(particles, active, span=span, **kwargs)
+    for a, b in zip(full, tight):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)
+
+
+def test_tracker_converges_with_bf16_probes():
+    dsp = DspConfig(probe_compute="bfloat16")
+    src_theta, src_phi = math.radians(25.0), math.radians(60.0)
+    state, targets = _run_blocks([(src_theta, src_phi, 5000.0)], 25, dsp=dsp)
+    valid = np.asarray(targets.valid)
+    assert valid.any(), "no tracker locked on with bf16 probes"
+    th = np.asarray(targets.theta)[valid]
+    ph = np.asarray(targets.phi)[valid]
+    d = np.degrees(np.asarray(spherical_angle(th, ph, src_theta, src_phi)))
     assert d.min() < 10.0, f"closest tracker {d.min():.1f} deg away"
 
 
