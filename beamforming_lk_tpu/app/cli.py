@@ -80,6 +80,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume pipeline state at startup")
     p.add_argument("--gps", nargs=3, type=float, default=(57.76, 16.68, 0.0),
                    metavar=("LAT", "LON", "ALT"))
+    p.add_argument("--gpsd", nargs="?", const="127.0.0.1:2947", default=None,
+                   metavar="HOST:PORT",
+                   help="read live position/heading from gpsd (degrades "
+                        "gracefully when unreachable, like the reference)")
+    p.add_argument("--camera", type=int, default=None, metavar="INDEX",
+                   help="composite the heatmap over this camera feed "
+                        "(requires cv2)")
     return p
 
 
@@ -150,6 +157,14 @@ def main(argv=None) -> int:
         tracker=TrackerConfig(fov_degrees=args.fov),
     )
     n_arrays = max(args.arrays, len(args.port or []))
+    camera = None
+    if args.camera is not None:
+        from beamforming_lk_tpu.utils.video import CameraSource
+
+        try:
+            camera = CameraSource(args.camera)
+        except RuntimeError as e:  # degrade like the reference's load errors
+            print(f"camera disabled: {e}", file=sys.stderr)
     unit = ControlUnit(
         cfg,
         n_arrays=n_arrays,
@@ -162,6 +177,7 @@ def main(argv=None) -> int:
         flip=args.flipped,
         circle_mask=args.aesthetic,
         channels=args.channels,
+        camera=camera.read if camera is not None else None,
     )
     if args.load_state:
         for i, pipe in enumerate(unit.pipelines):
@@ -173,9 +189,18 @@ def main(argv=None) -> int:
         for pipe in unit.pipelines:
             pipe.steer(math.radians(args.steer[0]), math.radians(args.steer[1]))
 
-    publisher = None
+    publisher = heartbeat = gpsd = None
+    if args.gpsd:
+        from beamforming_lk_tpu.io.gps import GpsdClient
+
+        host, _, port = args.gpsd.partition(":")
+        gpsd = GpsdClient.connect(host, int(port or 2947))
     if args.wara_ps:
-        from beamforming_lk_tpu.app.waraps import TelemetrySink, WaraPsPublisher
+        from beamforming_lk_tpu.app.waraps import (
+            TelemetryHeartbeat,
+            TelemetrySink,
+            WaraPsPublisher,
+        )
         import os
 
         sink = TelemetrySink(
@@ -185,10 +210,20 @@ def main(argv=None) -> int:
             fallback_path=args.telemetry_file or "telemetry.ndjson",
         )
         publisher = WaraPsPublisher(sink, *args.gps)
+        heartbeat = TelemetryHeartbeat(sink)
 
     def on_frame(_frame):
+        fix = gpsd.poll() if gpsd is not None else None
         if publisher is not None:
+            if fix is not None:
+                # Geo-reference tracks to the live fix (the reference reads
+                # gpsd each pass, target_handler.cpp:196-206).
+                publisher.update_origin(
+                    fix.latitude, fix.longitude, fix.altitude, heading=fix.track
+                )
             publisher.maybe_publish(unit.best_track())
+        if heartbeat is not None:
+            heartbeat.maybe_publish(fix)
 
     from beamforming_lk_tpu.utils.profiling import trace
 
@@ -211,12 +246,16 @@ def main(argv=None) -> int:
             n_blocks=args.blocks if args.blocks > 0 else None,
             render_every=args.render_every,
             output_dir=args.output_dir,
-            on_frame=on_frame if publisher else None,
+            on_frame=on_frame if (publisher or gpsd) else None,
             miso_wav=args.miso_wav,
             record_avi=args.record,
             display=args.display,
             verbose=args.verbose,
         )
+    if gpsd is not None:
+        gpsd.close()
+    if camera is not None:
+        camera.close()
     if args.save_state:
         for i, pipe in enumerate(unit.pipelines):
             pipe.save(

@@ -52,10 +52,15 @@ class ControlUnit:
         flip: bool = False,
         circle_mask: bool = False,
         channels: Optional[int] = None,
+        camera: Optional[Callable[[], Optional[np.ndarray]]] = None,
     ):
         self.cfg = cfg
         self.flip = flip
         self.circle_mask = circle_mask
+        # Camera underlay: a callable returning the current RGB camera
+        # frame (or None) — the heatmap is alpha-blended over it
+        # (the reference's --camera compositing, aw_control_unit.cpp).
+        self.camera = camera
         self.pipelines: List[AwpuPipeline] = [
             AwpuPipeline(
                 cfg,
@@ -131,17 +136,28 @@ class ControlUnit:
         rear-mounted arrays); ``circle_mask`` blanks pixels outside the FOV
         disc (the ``--aesthetic`` circular mask,
         aw_control_unit.cpp:320-330)."""
-        from beamforming_lk_tpu.utils.overlay import overlay_targets
+        from beamforming_lk_tpu.utils.overlay import (
+            blend_underlay,
+            nearest_resize,
+            overlay_targets,
+        )
 
         flip = self.flip if flip is None else flip
         circle_mask = self.circle_mask if circle_mask is None else circle_mask
+        cam_frame = self.camera() if self.camera is not None else None
         tiles = []
-        for pipe in self.pipelines:
+        for tile_i, pipe in enumerate(self.pipelines):
             img = pipe.heatmap()
             img = upscale(img, (self.frame_size, self.frame_size))
             if self.blur_sigma > 0:
                 img = gaussian_blur(img, self.blur_sigma)
             rgb = apply_colormap(img, self.lut)
+            if cam_frame is not None and tile_i == 0:
+                # Composite the heatmap over the (square-resized) camera view
+                # — camera mode replaces the circular mask in the reference.
+                cam_sq = nearest_resize(cam_frame, (self.frame_size, self.frame_size))
+                rgb = blend_underlay(cam_sq, rgb)
+                circle_mask = False
             if circle_mask:
                 n = self.frame_size
                 yy, xx = np.mgrid[0:n, 0:n]

@@ -97,3 +97,51 @@ class WaraPsPublisher:
         self.sink.publish(self.topic, geo)
         self._last_publish = now
         return True
+
+    def update_origin(
+        self,
+        latitude: float,
+        longitude: float,
+        altitude: float = 0.0,
+        heading: Optional[float] = None,
+    ) -> None:
+        """Re-reference published tracks to a live GPS fix (the reference
+        reads gpsd each fusion pass, target_handler.cpp:196-206)."""
+        self.lat, self.lon, self.alt = latitude, longitude, altitude
+        if heading is not None:
+            self.rotation = heading_rotation(heading)
+
+
+class TelemetryHeartbeat:
+    """Periodic own-position/heading/speed publish — the reference's 1 Hz
+    telemetry thread (``publishData``, aw_control_unit.cpp:444-466)."""
+
+    def __init__(
+        self,
+        sink: TelemetrySink,
+        interval: float = 1.0,
+        topic: str = "sensor/telemetry",
+    ):
+        self.sink = sink
+        self.interval = interval
+        self.topic = topic
+        self._last_publish = -math.inf
+
+    def maybe_publish(self, fix, now: Optional[float] = None) -> bool:
+        """Publish the latest GPS fix (io.gps.GpsFix or None) if due."""
+        now = time.monotonic() if now is None else now
+        if fix is None or now - self._last_publish < self.interval:
+            return False
+        self.sink.publish(
+            self.topic,
+            {
+                "latitude": fix.latitude,
+                "longitude": fix.longitude,
+                "altitude": fix.altitude,
+                "heading": fix.track,
+                "speed": fix.speed,
+                "type": "GeoPoint",
+            },
+        )
+        self._last_publish = now
+        return True

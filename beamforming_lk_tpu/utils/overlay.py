@@ -65,6 +65,34 @@ def draw_circle(frame: np.ndarray, row: int, col: int, radius: int, color) -> No
     frame[ring] = color
 
 
+def nearest_resize(img: np.ndarray, shape) -> np.ndarray:
+    """Nearest-neighbor resize of an [H, W, ...] image to (h, w)."""
+    img = np.asarray(img)
+    h, w = shape
+    ih, iw = img.shape[:2]
+    if (ih, iw) == (h, w):
+        return img
+    ri = (np.arange(h) * ih // h).clip(0, ih - 1)
+    ci = (np.arange(w) * iw // w).clip(0, iw - 1)
+    return img[ri][:, ci]
+
+
+def blend_underlay(camera_rgb: np.ndarray, heatmap_rgb: np.ndarray,
+                   alpha: float = 0.6) -> np.ndarray:
+    """Weighted blend of the heatmap over a camera frame
+    (the reference's ``--camera`` mode composites the colormapped heatmap
+    onto the live camera view, ``src/aw_control_unit/aw_control_unit.cpp``
+    camera overlay branch; ``cv::addWeighted`` semantics).
+
+    ``heatmap_rgb`` is nearest-neighbor resized to the camera frame.  Pure
+    numpy — no OpenCV required.
+    """
+    cam = np.asarray(camera_rgb, np.float32)
+    hm = nearest_resize(heatmap_rgb, cam.shape[:2])
+    out = (1.0 - alpha) * cam + alpha * hm.astype(np.float32)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
 def overlay_targets(
     frame: np.ndarray,
     targets: Sequence[dict],

@@ -54,6 +54,41 @@ class VideoRecorder:
         self.close()
 
 
+class CameraSource:
+    """Webcam frames as RGB arrays (the reference's ``--camera INDEX``
+    opens ``cv::VideoCapture`` and composites the heatmap onto the feed).
+
+    Returns ``None`` when no frame is available — callers fall back to the
+    plain heatmap, mirroring the reference's camera-load degrade path.
+    """
+
+    def __init__(self, index: int = 0):
+        if not has_cv2():
+            raise RuntimeError("cv2 unavailable for camera capture")
+        import cv2
+
+        self._cap = cv2.VideoCapture(index)
+        if not self._cap.isOpened():
+            raise RuntimeError(f"camera {index} failed to open")
+
+    def read(self) -> Optional[np.ndarray]:
+        import cv2
+
+        ok, frame = self._cap.read()
+        if not ok:
+            return None
+        return cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+
+    def close(self) -> None:
+        self._cap.release()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 class LiveDisplay:
     """cv2 window showing frames; returns pressed key (the UI loop's
     ``waitKey(1)``; 'q' quits in the reference)."""
