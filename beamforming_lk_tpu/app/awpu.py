@@ -98,6 +98,25 @@ def make_awpu_step(
         )
     mimo_weights = dl.das_weights_np(delays, dsp.shift_range, dsp.interp, fir_bank)
 
+    # Separable frequency-domain heatmap (ops/fft_das.py): exact, ~250x
+    # fewer FLOPs; available for planar-lattice arrays + binary masks on a
+    # single device.  None -> dense shift-matmul path.
+    fft_model = None
+    if cfg.mimo.backend == "fft" and mesh is None and enable_mimo:
+        from beamforming_lk_tpu.ops import fft_das as fd
+
+        fft_model = fd.make_fft_heatmap_model(
+            points_np, cfg.mimo, dsp, arr, channel_mask=mask_np
+        )
+        if fft_model is None:
+            import sys
+
+            print(
+                "mimo backend 'fft' unavailable for this geometry/mask; "
+                "using dense",
+                file=sys.stderr,
+            )
+
     axis_name = CH_AXIS if (mesh is not None and CH_AXIS in mesh.axis_names) else None
     # Probe stencil span sized from the FULL aperture (points_np before any
     # channel sharding — min-subtraction is global under the mesh).
@@ -118,7 +137,15 @@ def make_awpu_step(
         window = rg.ring_window(history, t_len, dsp.shift_range, taps)
 
         # --- MIMO heatmap worker (mimo.cpp:97-151)
-        if enable_mimo:
+        if enable_mimo and fft_model is not None:
+            from beamforming_lk_tpu.ops import fft_das as fd
+
+            powers = fd.fft_heatmap_powers(window, fft_model)
+            prev_max = (
+                jnp.max(powers) * cfg.mimo.ema_alpha
+                + (1.0 - cfg.mimo.ema_alpha) * state.prev_max
+            )
+        elif enable_mimo:
             w = mimo_w if mask is None else mimo_w * mask[:, None]
             if dsp.compute == "bfloat16":
                 beam = dl.das_beam(

@@ -63,6 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--blur", type=float, default=0.0, help="gaussian blur sigma")
     p.add_argument("--mvdr", action="store_true",
                    help="adaptive (Capon) heatmap instead of DAS power")
+    p.add_argument("--heatmap-backend", choices=["dense", "fft"],
+                   default="dense",
+                   help="DAS heatmap compute: dense shift-matmul or the "
+                        "separable frequency-domain transform (planar-"
+                        "lattice arrays, ~250x fewer FLOPs)")
     p.add_argument("--record", default=None, metavar="FILE.avi",
                    help="record frames to AVI (requires cv2)")
     p.add_argument("--display", action="store_true",
@@ -153,7 +158,7 @@ def main(argv=None) -> int:
     enable_mimo = args.mimo or not (args.tracking or args.miso)
     cfg = Config(
         mimo=MimoConfig(rows=args.mimo_res, columns=args.mimo_res,
-                        fov_degrees=args.fov),
+                        fov_degrees=args.fov, backend=args.heatmap_backend),
         tracker=TrackerConfig(fov_degrees=args.fov),
     )
     n_arrays = max(args.arrays, len(args.port or []))

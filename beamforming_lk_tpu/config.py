@@ -86,6 +86,12 @@ class MimoConfig:
     fov_degrees: float = 180.0
     ema_alpha: float = 0.2       # running-max EMA (mimo.cpp:75-76)
     use_db: bool = False
+    # Heatmap compute backend: "dense" (shift-matmul stencil, any geometry /
+    # mask / mesh) or "fft" (separable frequency-domain transform — ~250x
+    # fewer FLOPs and exact fractional delays, for planar-lattice arrays
+    # with binary channel masks on a single device; falls back to dense
+    # when those conditions do not hold).
+    backend: str = "dense"
 
     @property
     def n_directions(self) -> int:

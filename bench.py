@@ -46,6 +46,7 @@ from beamforming_lk_tpu.io import ring as rg
 from beamforming_lk_tpu.models import mimo as mm
 from beamforming_lk_tpu.ops import antenna as ant
 from beamforming_lk_tpu.ops import delay as dl
+from beamforming_lk_tpu.ops import fft_das as fd
 from beamforming_lk_tpu.ops.pallas_das import das_beam_pallas, delay_split_np, pad_directions
 
 SAMPLE_RATE = 48828.0
@@ -195,9 +196,22 @@ def main():
         )[:d]
         return dl.das_power(beam, divisor=BLOCK * c)
 
+    # Separable frequency-domain heatmap (ops/fft_das.py): the 256-mic
+    # cluster is a contiguous 16x16 lattice, so the DAS sum factors into two
+    # tiny per-bin transforms (~250x fewer FLOPs than the dense stencil,
+    # exact sinc fractional delays).  Model operands are ~3 MB — safe to
+    # close over even on the remote-compile path.
+    fft_model = fd.make_fft_heatmap_model(
+        np.asarray(points), MimoConfig(rows=GRID, columns=GRID), dsp, arr
+    )
+
+    def fft_sep(window):
+        return fd.fft_heatmap_powers(window, fft_model)
+
     variants = {
         "dense_f32_highest": (dense_f32, (weights,)),
         "dense_bf16": (dense_bf16, (weights_bf16,)),
+        "fft_separable": (fft_sep, ()),
     }
     # The Pallas kernel variants (pallas_f32 / pallas_bf16 above) are
     # EXCLUDED: this toolchain's Mosaic compiler hangs indefinitely on the

@@ -37,7 +37,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from beamforming_lk_tpu.app import awpu_init, make_awpu_step  # noqa: E402
-from beamforming_lk_tpu.config import Config, DspConfig  # noqa: E402
+from beamforming_lk_tpu.config import Config, DspConfig, MimoConfig  # noqa: E402
 from beamforming_lk_tpu.ops import antenna as ant  # noqa: E402
 
 SAMPLE_RATE = 48828.0
@@ -81,6 +81,12 @@ def main():
         ),
         "bf16_all": dataclasses.replace(
             base, dsp=DspConfig(compute="bfloat16", probe_compute="bfloat16")
+        ),
+        # bf16 probes + separable frequency-domain heatmap (ops/fft_das.py)
+        "bf16_fft": dataclasses.replace(
+            base,
+            dsp=DspConfig(compute="bfloat16", probe_compute="bfloat16"),
+            mimo=MimoConfig(backend="fft"),
         ),
     }
     points = ant.create_antenna_grid(8, 8, 0.02)
