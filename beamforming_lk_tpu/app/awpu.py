@@ -106,7 +106,8 @@ def make_awpu_step(
         from beamforming_lk_tpu.ops import fft_das as fd
 
         fft_model = fd.make_fft_heatmap_model(
-            points_np, cfg.mimo, dsp, arr, channel_mask=mask_np
+            points_np, cfg.mimo, dsp, arr, channel_mask=mask_np,
+            compute=dsp.compute,
         )
         if fft_model is None:
             import sys

@@ -11,3 +11,4 @@ from beamforming_lk_tpu.io.packets import (
 from beamforming_lk_tpu.io.pcap import read_pcap_payloads, replay_blocks, write_pcap
 from beamforming_lk_tpu.io.wav import WavWriter, read_wav
 from beamforming_lk_tpu.io.checkpoint import load_state, save_state
+from beamforming_lk_tpu.io.gps import GpsdClient, GpsFix

@@ -36,12 +36,51 @@ class MvdrState(NamedTuple):
     count: jnp.ndarray   # [] int32 blocks folded in
 
 
+def _complex_safe_device():
+    """A device that supports complex dtypes, or None for the default.
+
+    Some remote-TPU deployments (the axon tunnel) reject complex64 outright
+    — and the first failed complex op poisons the whole process.  MVDR is
+    complex-valued linear algebra, so off-CPU backends without complex
+    support pin it to the host CPU device (the heatmap/tracker fast paths
+    are unaffected — they are complex-free by construction).
+    """
+    import os
+
+    try:
+        if jax.default_backend() == "cpu":
+            return None
+        # Probing with a real complex op is NOT safe — on the axon tunnel
+        # the probe itself would poison the process.  Detect the tunnel by
+        # its platform registration instead.
+        platforms = str(os.environ.get("JAX_PLATFORMS", "")) + str(
+            jax.config.jax_platforms or ""
+        )
+        if "axon" in platforms:
+            return jax.devices("cpu")[0]
+        return None
+    except RuntimeError:
+        return None
+
+
 def mvdr_init(n_bins: int, channels: int) -> MvdrState:
-    eye = jnp.eye(channels, dtype=jnp.complex64)
-    return MvdrState(
-        cov=jnp.broadcast_to(eye, (n_bins, channels, channels)).astype(jnp.complex64),
-        count=jnp.zeros((), jnp.int32),
-    )
+    dev = _complex_safe_device()
+    with jax.default_device(dev) if dev is not None else _nullcontext():
+        eye = jnp.eye(channels, dtype=jnp.complex64)
+        return MvdrState(
+            cov=jnp.broadcast_to(eye, (n_bins, channels, channels)).astype(
+                jnp.complex64
+            ),
+            count=jnp.zeros((), jnp.int32),
+        )
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *exc):
+        return False
 
 
 def select_bins(
@@ -108,9 +147,13 @@ def make_mvdr_step(
     """
     bins = select_bins(frame_size, array_cfg.sample_rate, f_low, f_high)
     freqs = np.fft.rfftfreq(frame_size, 1.0 / array_cfg.sample_rate)[bins]
-    v = jnp.asarray(steering_matrix(points, theta, phi, freqs, array_cfg))
-    window_fn = jnp.asarray(np.hanning(frame_size).astype(np.float32))
-    mask = None if channel_mask is None else jnp.asarray(channel_mask, jnp.float32)
+    dev = _complex_safe_device()
+    with jax.default_device(dev) if dev is not None else _nullcontext():
+        v = jnp.asarray(steering_matrix(points, theta, phi, freqs, array_cfg))
+        window_fn = jnp.asarray(np.hanning(frame_size).astype(np.float32))
+        mask = (
+            None if channel_mask is None else jnp.asarray(channel_mask, jnp.float32)
+        )
 
     impl = _make_mvdr_impl(
         frame_size, hop, window_fn, mask, ema_alpha, diagonal_loading
@@ -118,9 +161,16 @@ def make_mvdr_step(
     bins_j = jnp.asarray(bins)
     binw = jnp.ones((len(bins),), jnp.float32)
 
-    @jax.jit
+    jitted = jax.jit(lambda state, block, vv, bb, ww: impl(state, block, vv, bb, ww))
+
     def step(state: MvdrState, block):
-        return impl(state, block, v, bins_j, binw)
+        if dev is None:
+            return jitted(state, block, v, bins_j, binw)
+        with jax.default_device(dev):
+            # The block may live on the (complex-incapable) accelerator;
+            # route it through the host.
+            block = jax.device_put(np.asarray(block), dev)
+            return jitted(state, block, v, bins_j, binw)
 
     return step, len(bins)
 

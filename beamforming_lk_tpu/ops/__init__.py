@@ -36,7 +36,12 @@ from beamforming_lk_tpu.ops.antenna import (  # noqa: F811
     sector_masks,
     steering_delays_np,
 )
-from beamforming_lk_tpu.ops.delay import das_weights_np, bandpass_ma
+from beamforming_lk_tpu.ops.delay import das_weights_np, bandpass_ma, probe_span
+from beamforming_lk_tpu.ops.fft_das import (
+    fft_heatmap_powers,
+    lattice_factorization,
+    make_fft_heatmap_model,
+)
 from beamforming_lk_tpu.ops.filters import (
     REFERENCE_BANDS,
     bandpass_fractional_bank,

@@ -8,23 +8,31 @@ microphone arrays (every reference array is an 8x8 grid,
 lattices) steered over the heatmap's sin-projected *tensor* direction grid
 (``src/dsp/mimo.cpp:20-59``) — the DAS sum factors exactly:
 
-    tau[d, c] = fs/c * (u_x[dx] * x[cx]  +  u_y[dy] * y[cy])
+    tau[d, c] = fs/c * (u_x[dx] * x[cx]  -  u_y[dy] * y[cy])
 
 so in the frequency domain the steering phase is a tensor product and the
 beamform becomes two tiny transforms (a "2-D zoom DFT"):
 
-    X[cy, cx, f]  = rfft(window)                    # C FFTs of length L
+    X[cy, cx, f]  = DFT_t(window)                   # [L, F] cos/sin matmul
     B1[dx, cy, f] = sum_cx Ex[f, dx, cx] X[..]      # D_x x C_x per bin
     B2[dy, dx, f] = sum_cy Ey[f, dy, cy] B1[..]     # D_y x C_y per bin
-    beam[d, t]    = irfft(B2)[:T]                   # D inverse FFTs
+    beam[d, t]    = iDFT_f(B2)[:T]                  # [F, T] cos/sin matmul
 
-Work drops from ``D*C*S*T`` to ``F*(Dx*Cx*Cy + D*Cy) + D*L*log L`` — about
-250x fewer FLOPs at the 256-mic x 65x65 north-star config — and fractional
-delays become *exact* (band-limited sinc) instead of 2-tap linear
-interpolation.  The min-subtraction per direction (antenna.cpp:89-97) is
-itself separable (min of a separable function over a lattice splits per
-axis) and is folded into ``Ex``/``Ey`` so the time alignment matches the
-dense kernel's window convention exactly.
+Work drops from ``D*C*S*T`` (~7e10 at the 256-mic x 65x65 north-star
+config) to ``F*(Dx*Cx*Cy + D*Cy) + D*F*T`` (~1e9) — and fractional delays
+become *exact* (band-limited sinc) instead of 2-tap linear interpolation.
+The min-subtraction per direction (antenna.cpp:89-97) is itself separable
+(min of a separable function over a lattice splits per axis) and is folded
+into ``Ex``/``Ey`` so the time alignment matches the dense kernel's window
+convention exactly — including the reference's backwards-interp one-sample
+quirk (delay.cpp:24).
+
+**No complex dtypes anywhere**: the DFTs are explicit cos/sin matrices and
+every spectrum is an (re, im) pair of float32 planes.  This is deliberate —
+(a) the axon remote-TPU tunnel used for deployment rejects complex64
+outright, and (b) real matmuls ride the MXU where complex FFT kernels do
+not.  ``compute="bfloat16"`` runs the matmuls with bf16 inputs / f32
+accumulation.
 
 Out-of-disc heatmap corner pixels (the reference clamps them onto the FOV
 disc edge, mimo.cpp:36-43) are not on the tensor grid; they are filled from
@@ -130,19 +138,26 @@ def _offdisc_gather(mimo_cfg) -> Optional[np.ndarray]:
 
 @dataclasses.dataclass(frozen=True)
 class FftHeatmapModel:
-    """Static operands of the separable frequency-domain heatmap."""
+    """Static operands of the separable frequency-domain heatmap.
 
-    ex: jax.Array               # [F, Dx, Cx] complex64 steering factors (x)
-    ey: jax.Array               # [F, Dy, Cy] complex64 steering factors (y)
+    Spectra are (re, im) float32 plane pairs — no complex dtypes (see
+    module docstring).
+    """
+
+    ex: tuple                   # (re, im) each [F, Dx, Cx]
+    ey: tuple                   # (re, im) each [F, Dy, Cy]
+    dft: tuple                  # (cos [L, F], -sin [L, F]) forward DFT
+    idft: tuple                 # (cos [F, T], -sin [F, T]) weighted inverse
     perm: jax.Array             # [C] channel -> lattice site permutation
     src_map: Optional[jax.Array]  # [D] out-of-disc gather (None if all in)
-    dead: Optional[tuple]       # (xd [F,Dx,Nd], yd [F,Dy,Nd], chan [Nd])
+    dead: Optional[tuple]       # (xre, xim [F,Dx,Nd], yre, yim [F,Dy,Nd], chan)
     rows: int
     columns: int
     block_size: int
     fft_len: int
     n_active: float
     use_bandpass: bool
+    compute: str = "float32"    # matmul input dtype ("float32" | "bfloat16")
 
 
 def make_fft_heatmap_model(
@@ -151,6 +166,7 @@ def make_fft_heatmap_model(
     dsp_cfg,
     array_cfg,
     channel_mask=None,
+    compute: Optional[str] = None,
 ) -> Optional[FftHeatmapModel]:
     """Precompute the separable steering factors, or None if this
     configuration does not factor (non-lattice points / gain masks)."""
@@ -171,26 +187,51 @@ def make_fft_heatmap_model(
 
     # Window convention (ops/delay.py): beam[t] reads window position
     # t + (S - taps) - tau[d, c]; tau = raw - min_d with
-    # raw = spm * (ux*x + uy*y).  The advance Delta = (S-taps) - tau is a
-    # phase exp(+2i pi f Delta / L) on rfft bins; min_d = mx[dx] + my[dy]
-    # splits per axis, so fold (S - taps) + mx into Ex and my into Ey.
+    # raw = spm * (ux*x - uy*y)  [steering row u = (sin t cos p,
+    # -sin t sin p, cos t), antenna.cpp:99-107 — note the MINUS on y].
+    # The advance Delta = (S - taps) + 1 - tau is a phase
+    # exp(+2i pi f Delta / L) on rfft bins (the +1 reproduces the
+    # reference's backwards-interp quirk, delay.cpp:24, which the dense
+    # kernel matches); min_d = mx[dx] + my[dy] splits per axis, so fold
+    # (S - taps + 1) + mx into Ex and my into Ey.
     f = np.arange(L // 2 + 1, dtype=np.float64)
-    # Steering direction row u = [sin(t)cos(p), -sin(t)sin(p), cos(t)]
-    # (antenna.cpp:99-107; note the MINUS on the y component) with
-    # sin(t)cos(p) = u_x and sin(t)sin(p) = u_y on the pixel grid.
     raw_x = spm * np.outer(ux, lat.x)                 # [Dx, Cx]
     raw_y = -spm * np.outer(uy, lat.y)                # [Dy, Cy]
     mx = raw_x.min(axis=1, keepdims=True)             # [Dx, 1]
     my = raw_y.min(axis=1, keepdims=True)             # [Dy, 1]
-    # The +1 reproduces the reference's backwards-interp quirk: its active
-    # AVX2 path effectively delays by tau - 1 (delay.cpp:24; see
-    # ops/delay.py module docstring), and the dense kernel matches it — so
-    # the fft backend shifts identically and the two backends agree
-    # sample-for-sample in linear mode.
     dx_shift = (s - taps) + 1 + mx - raw_x            # [Dx, Cx]
     dy_shift = my - raw_y                             # [Dy, Cy]
-    ex = np.exp(2j * np.pi * f[:, None, None] * dx_shift[None] / L)
-    ey = np.exp(2j * np.pi * f[:, None, None] * dy_shift[None] / L)
+    ang_x = 2.0 * np.pi * f[:, None, None] * dx_shift[None] / L
+    ang_y = 2.0 * np.pi * f[:, None, None] * dy_shift[None] / L
+
+    def _pair(a):
+        return (
+            jnp.asarray(np.cos(a), jnp.float32),
+            jnp.asarray(np.sin(a), jnp.float32),
+        )
+
+    ex, ey = _pair(ang_x), _pair(ang_y)
+
+    # Forward DFT (rfft) as cos/sin matrices: X = x @ (cos, -sin).
+    n_t = np.arange(L, dtype=np.float64)[:, None]
+    w_ang = 2.0 * np.pi * n_t * f[None, :] / L        # [L, F]
+    dft = (
+        jnp.asarray(np.cos(w_ang), jnp.float32),
+        jnp.asarray(-np.sin(w_ang), jnp.float32),
+    )
+    # Weighted inverse (irfft restricted to the first T output samples):
+    # beam[t] = sum_f wt_f (B_re cos(2 pi f t / L) - B_im sin(..)) / L,
+    # wt = [1, 2, ..., 2, 1(if L even)].
+    wt = np.full(len(f), 2.0)
+    wt[0] = 1.0
+    if L % 2 == 0:
+        wt[-1] = 1.0
+    t_out = np.arange(t, dtype=np.float64)[None, :]
+    i_ang = 2.0 * np.pi * f[:, None] * t_out / L      # [F, T]
+    idft = (
+        jnp.asarray(np.cos(i_ang) * wt[:, None] / L, jnp.float32),
+        jnp.asarray(-np.sin(i_ang) * wt[:, None] / L, jnp.float32),
+    )
 
     dead = None
     n_active = float(points.shape[1])
@@ -204,13 +245,17 @@ def make_fft_heatmap_model(
             sites = site_of_chan[dead_chan]
             cxs, cys = sites % len(lat.x), sites // len(lat.x)
             dead = (
-                jnp.asarray(ex[:, :, cxs], jnp.complex64),
-                jnp.asarray(ey[:, :, cys], jnp.complex64),
+                jnp.asarray(np.cos(ang_x[:, :, cxs]), jnp.float32),
+                jnp.asarray(np.sin(ang_x[:, :, cxs]), jnp.float32),
+                jnp.asarray(np.cos(ang_y[:, :, cys]), jnp.float32),
+                jnp.asarray(np.sin(ang_y[:, :, cys]), jnp.float32),
                 jnp.asarray(dead_chan),
             )
     return FftHeatmapModel(
-        ex=jnp.asarray(ex, jnp.complex64),
-        ey=jnp.asarray(ey, jnp.complex64),
+        ex=ex,
+        ey=ey,
+        dft=dft,
+        idft=idft,
         perm=jnp.asarray(lat.perm),
         src_map=(lambda m: None if m is None else jnp.asarray(m))(
             _offdisc_gather(mimo_cfg)
@@ -222,6 +267,7 @@ def make_fft_heatmap_model(
         fft_len=L,
         n_active=n_active,
         use_bandpass=dsp_cfg.use_bandpass,
+        compute=compute or "float32",
     )
 
 
@@ -232,19 +278,51 @@ def fft_heatmap_powers(window, model: FftHeatmapModel):
     beamformed block, normalized by T * active channels) with exact
     band-limited fractional delays.
     """
-    L, t = model.fft_len, model.block_size
-    cx = model.ex.shape[-1]
-    cy = model.ey.shape[-1]
+    t = model.block_size
+    cx = model.ex[0].shape[-1]
+    cy = model.ey[0].shape[-1]
+    if model.compute == "bfloat16":
+        dtype, prec = jnp.bfloat16, jax.lax.Precision.DEFAULT
+    else:
+        dtype, prec = jnp.float32, jax.lax.Precision.HIGHEST
+
+    def mm(sub, a, b):
+        return jnp.einsum(
+            sub, a.astype(dtype), b.astype(dtype),
+            precision=prec, preferred_element_type=jnp.float32,
+        )
+
     w = window[model.perm].reshape(cy, cx, -1)
-    x = jnp.fft.rfft(w, n=L, axis=-1)                       # [Cy, Cx, F]
-    b1 = jnp.einsum("fdc,ycf->dyf", model.ex, x)            # [Dx, Cy, F]
-    b2 = jnp.einsum("fdc,xcf->dxf", model.ey, b1)           # [Dy, Dx, F]
+    x_re = mm("yxt,tf->yxf", w, model.dft[0])               # [Cy, Cx, F]
+    x_im = mm("yxt,tf->yxf", w, model.dft[1])
+    exr, exi = model.ex
+    eyr, eyi = model.ey
+    b1_re = mm("fdc,ycf->dyf", exr, x_re) - mm("fdc,ycf->dyf", exi, x_im)
+    b1_im = mm("fdc,ycf->dyf", exr, x_im) + mm("fdc,ycf->dyf", exi, x_re)
+    b2_re = mm("fdc,xcf->dxf", eyr, b1_re) - mm("fdc,xcf->dxf", eyi, b1_im)
+    b2_im = mm("fdc,xcf->dxf", eyr, b1_im) + mm("fdc,xcf->dxf", eyi, b1_re)
     if model.dead is not None:
-        xd, yd, chan = model.dead
+        xdr, xdi, ydr, ydi, chan = model.dead
         wd = window[chan]
-        sd = jnp.fft.rfft(wd, n=L, axis=-1)                 # [Nd, F]
-        b2 = b2 - jnp.einsum("fxn,fyn,nf->yxf", xd, yd, sd)
-    beam = jnp.fft.irfft(b2, n=L, axis=-1)[..., :t]         # [Dy, Dx, T]
+        sr = mm("nt,tf->nf", wd, model.dft[0])              # [Nd, F]
+        si = mm("nt,tf->nf", wd, model.dft[1])
+        # t1 = ex * s (complex, elementwise over f, n) then contract n
+        # against ey — avoids a [F, Dx, Dy, Nd] intermediate.
+        srt = sr.T[:, None, :]                              # [F, 1, Nd]
+        sit = si.T[:, None, :]
+        t1_r = xdr * srt - xdi * sit                        # [F, Dx, Nd]
+        t1_i = xdr * sit + xdi * srt
+        b2_re = b2_re - (
+            jnp.einsum("fxn,fyn->yxf", t1_r, ydr)
+            - jnp.einsum("fxn,fyn->yxf", t1_i, ydi)
+        )
+        b2_im = b2_im - (
+            jnp.einsum("fxn,fyn->yxf", t1_r, ydi)
+            + jnp.einsum("fxn,fyn->yxf", t1_i, ydr)
+        )
+    beam = mm("yxf,ft->yxt", b2_re, model.idft[0]) + mm(
+        "yxf,ft->yxt", b2_im, model.idft[1]
+    )                                                       # [Dy, Dx, T]
     beam = beam.reshape(model.rows * model.columns, t)
     powers = dl.das_power(
         beam, use_bandpass=model.use_bandpass, divisor=t * model.n_active

@@ -14,11 +14,16 @@ Methodology notes (tunneled remote device):
 - The dense stencil (D*C*S floats, ~280 MB) is built ON DEVICE from the
   [D, C] delay table; only ~4 MB of delays ever cross the wire.
 
-Variants: dense shift-matmul (f32-highest parity kernel, bf16-input/f32-acc)
-and the Pallas on-the-fly-stencil kernel (f32 / bf16).  The headline metric
-is the fastest variant; all are printed to stderr.  bf16 variants differ
-from the f32 parity kernel by <= ~3e-3 relative on heatmap powers
-(the reference itself runs -Ofast -ffast-math float32).
+Variants: dense shift-matmul (f32-highest parity kernel, bf16-input/f32-acc),
+the separable frequency-domain kernel (ops/fft_das.py, f32 / bf16 — the
+fastest and the only one with exact sinc fractional delays), and optionally
+the Pallas on-the-fly-stencil kernel.  The headline metric is the fastest
+variant; all are printed to stderr.  bf16-dense differs from f32-dense by
+<= ~3e-3 relative on heatmap powers (the reference itself runs -Ofast
+-ffast-math float32); the fft kernels' max_rel_err vs the dense reference
+is LARGE ON NOISE by construction (different fractional-delay
+interpolation reweights broadband noise per direction) while agreeing
+exactly on physical sources — see tests/test_fft_das.py.
 
 Metric: beam-samples/s/chip = directions x block_size x blocks/s.
 Baseline: the reference's implied real-time AVX2 envelope — 100x100 dirs x
@@ -198,20 +203,21 @@ def main():
 
     # Separable frequency-domain heatmap (ops/fft_das.py): the 256-mic
     # cluster is a contiguous 16x16 lattice, so the DAS sum factors into two
-    # tiny per-bin transforms (~250x fewer FLOPs than the dense stencil,
-    # exact sinc fractional delays).  Model operands are ~3 MB — safe to
-    # close over even on the remote-compile path.
-    fft_model = fd.make_fft_heatmap_model(
-        np.asarray(points), MimoConfig(rows=GRID, columns=GRID), dsp, arr
+    # tiny per-bin transforms (~70x fewer FLOPs than the dense stencil,
+    # exact sinc fractional delays).  Complex-free by construction (the
+    # axon tunnel rejects complex dtypes); model operands are a few MB —
+    # safe to close over even on the remote-compile path.
+    mimo_cfg = MimoConfig(rows=GRID, columns=GRID)
+    fft_f32 = fd.make_fft_heatmap_model(np.asarray(points), mimo_cfg, dsp, arr)
+    fft_bf16 = fd.make_fft_heatmap_model(
+        np.asarray(points), mimo_cfg, dsp, arr, compute="bfloat16"
     )
-
-    def fft_sep(window):
-        return fd.fft_heatmap_powers(window, fft_model)
 
     variants = {
         "dense_f32_highest": (dense_f32, (weights,)),
         "dense_bf16": (dense_bf16, (weights_bf16,)),
-        "fft_separable": (fft_sep, ()),
+        "fft_f32": (lambda w: fd.fft_heatmap_powers(w, fft_f32), ()),
+        "fft_bf16": (lambda w: fd.fft_heatmap_powers(w, fft_bf16), ()),
     }
     # The Pallas kernel variants (pallas_f32 / pallas_bf16 above) are
     # EXCLUDED: this toolchain's Mosaic compiler hangs indefinitely on the
@@ -225,28 +231,45 @@ def main():
         variants["pallas_bf16"] = (pallas_bf16, (shift, tapw))
     results = _RESULTS
     ref_powers = None
-    for name, (fn, params) in variants.items():
-        try:
-            scan_n = make_scan(fn, dl.LINEAR_TAPS)
-            rate = timed_rate(scan_n, history, blocks, params)
-            results[name] = rate
-            _, p = scan_n(history, blocks, 8, *params)
-            p = np.asarray(p, np.float64)
-            if ref_powers is None:
-                ref_powers = p
-                err = 0.0
-            else:
-                err = float(
-                    np.max(np.abs(p - ref_powers) / np.maximum(np.abs(ref_powers), 1e-30))
-                )
+    # The remote-device tunnel can fail transiently (observed: every op
+    # erroring with UNIMPLEMENTED for a few minutes, then recovering).
+    # Retry failed variants a few times rather than reporting 0.
+    pending = dict(variants)
+    for attempt in range(3):
+        if attempt:
             print(
-                f"# {name}: {rate:.1f} blocks/s "
-                f"(realtime_x={rate * BLOCK / SAMPLE_RATE:.1f}, "
-                f"max_rel_err={err:.1e})",
+                f"# retrying {len(pending)} failed variant(s) in 90 s "
+                f"(attempt {attempt + 1}/3)",
                 file=sys.stderr,
             )
-        except Exception as e:  # keep the bench robust if a variant breaks
-            print(f"# {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+            time.sleep(90)
+        failed = {}
+        for name, (fn, params) in pending.items():
+            try:
+                scan_n = make_scan(fn, dl.LINEAR_TAPS)
+                rate = timed_rate(scan_n, history, blocks, params)
+                results[name] = rate
+                _, p = scan_n(history, blocks, 8, *params)
+                p = np.asarray(p, np.float64)
+                if ref_powers is None:
+                    ref_powers = p
+                    err = 0.0
+                else:
+                    err = float(
+                        np.max(np.abs(p - ref_powers) / np.maximum(np.abs(ref_powers), 1e-30))
+                    )
+                print(
+                    f"# {name}: {rate:.1f} blocks/s "
+                    f"(realtime_x={rate * BLOCK / SAMPLE_RATE:.1f}, "
+                    f"max_rel_err={err:.1e})",
+                    file=sys.stderr,
+                )
+            except Exception as e:  # keep the bench robust if a variant breaks
+                print(f"# {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+                failed[name] = (fn, params)
+        pending = failed
+        if not pending:
+            break
 
     signal.alarm(0)
     if results:

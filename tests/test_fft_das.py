@@ -101,6 +101,21 @@ def test_fft_dead_channel_subtraction():
     )
 
 
+def test_fft_bf16_mode_close_to_f32():
+    mimo = MimoConfig(rows=12, columns=12, fov_degrees=120.0)
+    pts = ant.create_antenna_grid(8, 8, 0.02)
+    m32 = fd.make_fft_heatmap_model(pts, mimo, DCFG, ACFG)
+    mbf = fd.make_fft_heatmap_model(pts, mimo, DCFG, ACFG, compute="bfloat16")
+    rng = np.random.default_rng(5)
+    window = rng.standard_normal((64, DCFG.shift_range + DCFG.block_size)).astype(
+        np.float32
+    )
+    p32 = np.asarray(fd.fft_heatmap_powers(jnp.asarray(window), m32))
+    pbf = np.asarray(fd.fft_heatmap_powers(jnp.asarray(window), mbf))
+    assert np.corrcoef(p32, pbf)[0, 1] > 0.999
+    assert p32.argmax() == pbf.argmax()
+
+
 def test_fft_offdisc_corners_copy_nearest():
     mimo = MimoConfig(rows=16, columns=16, fov_degrees=180.0)
     pts = ant.create_antenna_grid(8, 8, 0.02)
