@@ -67,7 +67,7 @@ def build_parser() -> argparse.ArgumentParser:
                    default="dense",
                    help="DAS heatmap compute: dense shift-matmul or the "
                         "separable frequency-domain transform (planar-"
-                        "lattice arrays, ~250x fewer FLOPs)")
+                        "lattice arrays, ~20x fewer FLOPs)")
     p.add_argument("--record", default=None, metavar="FILE.avi",
                    help="record frames to AVI (requires cv2)")
     p.add_argument("--display", action="store_true",

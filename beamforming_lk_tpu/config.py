@@ -87,7 +87,7 @@ class MimoConfig:
     ema_alpha: float = 0.2       # running-max EMA (mimo.cpp:75-76)
     use_db: bool = False
     # Heatmap compute backend: "dense" (shift-matmul stencil, any geometry /
-    # mask / mesh) or "fft" (separable frequency-domain transform — ~250x
+    # mask / mesh) or "fft" (separable frequency-domain transform — ~20x
     # fewer FLOPs and exact fractional delays, for planar-lattice arrays
     # with binary channel masks on a single device; falls back to dense
     # when those conditions do not hold).

@@ -141,14 +141,18 @@ class FftHeatmapModel:
     """Static operands of the separable frequency-domain heatmap.
 
     Spectra are (re, im) float32 plane pairs — no complex dtypes (see
-    module docstring).
+    module docstring).  The forward/inverse DFTs carry re and im stacked
+    along one axis so each is a single matmul, and the channel → lattice
+    permutation is either folded away (identity) or applied as a one-hot
+    matmul — a per-block row gather measured ~10x slower than the
+    equivalent matmul on TPU.
     """
 
     ex: tuple                   # (re, im) each [F, Dx, Cx]
     ey: tuple                   # (re, im) each [F, Dy, Cy]
-    dft: tuple                  # (cos [L, F], -sin [L, F]) forward DFT
-    idft: tuple                 # (cos [F, T], -sin [F, T]) weighted inverse
-    perm: jax.Array             # [C] channel -> lattice site permutation
+    dft: jax.Array              # [L, 2F] = [cos | -sin] forward DFT
+    idft: jax.Array             # [2F, T] = [w cos / L ; -w sin / L] inverse
+    perm_matrix: Optional[jax.Array]  # [C, C] one-hot site<-channel, or None
     src_map: Optional[jax.Array]  # [D] out-of-disc gather (None if all in)
     dead: Optional[tuple]       # (xre, xim [F,Dx,Nd], yre, yim [F,Dy,Nd], chan)
     rows: int
@@ -212,25 +216,28 @@ def make_fft_heatmap_model(
 
     ex, ey = _pair(ang_x), _pair(ang_y)
 
-    # Forward DFT (rfft) as cos/sin matrices: X = x @ (cos, -sin).
+    # Forward DFT (rfft) as one [L, 2F] cos|-sin matrix: X_ri = x @ dft.
     n_t = np.arange(L, dtype=np.float64)[:, None]
     w_ang = 2.0 * np.pi * n_t * f[None, :] / L        # [L, F]
-    dft = (
-        jnp.asarray(np.cos(w_ang), jnp.float32),
-        jnp.asarray(-np.sin(w_ang), jnp.float32),
+    dft = jnp.asarray(
+        np.concatenate([np.cos(w_ang), -np.sin(w_ang)], axis=1), jnp.float32
     )
     # Weighted inverse (irfft restricted to the first T output samples):
     # beam[t] = sum_f wt_f (B_re cos(2 pi f t / L) - B_im sin(..)) / L,
-    # wt = [1, 2, ..., 2, 1(if L even)].
+    # wt = [1, 2, ..., 2, 1(if L even)] — stacked [2F, T] so the whole
+    # inverse is ONE matmul against [B_re | B_im].
     wt = np.full(len(f), 2.0)
     wt[0] = 1.0
     if L % 2 == 0:
         wt[-1] = 1.0
     t_out = np.arange(t, dtype=np.float64)[None, :]
     i_ang = 2.0 * np.pi * f[:, None] * t_out / L      # [F, T]
-    idft = (
-        jnp.asarray(np.cos(i_ang) * wt[:, None] / L, jnp.float32),
-        jnp.asarray(-np.sin(i_ang) * wt[:, None] / L, jnp.float32),
+    idft = jnp.asarray(
+        np.concatenate(
+            [np.cos(i_ang) * wt[:, None] / L, -np.sin(i_ang) * wt[:, None] / L],
+            axis=0,
+        ),
+        jnp.float32,
     )
 
     dead = None
@@ -251,12 +258,17 @@ def make_fft_heatmap_model(
                 jnp.asarray(np.sin(ang_y[:, :, cys]), jnp.float32),
                 jnp.asarray(dead_chan),
             )
+    perm_matrix = None
+    if not np.array_equal(lat.perm, np.arange(len(lat.perm))):
+        pm = np.zeros((len(lat.perm), len(lat.perm)), np.float32)
+        pm[np.arange(len(lat.perm)), lat.perm] = 1.0   # row site, col channel
+        perm_matrix = jnp.asarray(pm)
     return FftHeatmapModel(
         ex=ex,
         ey=ey,
         dft=dft,
         idft=idft,
-        perm=jnp.asarray(lat.perm),
+        perm_matrix=perm_matrix,
         src_map=(lambda m: None if m is None else jnp.asarray(m))(
             _offdisc_gather(mimo_cfg)
         ),
@@ -281,6 +293,7 @@ def fft_heatmap_powers(window, model: FftHeatmapModel):
     t = model.block_size
     cx = model.ex[0].shape[-1]
     cy = model.ey[0].shape[-1]
+    f_half = model.dft.shape[-1] // 2
     if model.compute == "bfloat16":
         dtype, prec = jnp.bfloat16, jax.lax.Precision.DEFAULT
     else:
@@ -292,20 +305,32 @@ def fft_heatmap_powers(window, model: FftHeatmapModel):
             precision=prec, preferred_element_type=jnp.float32,
         )
 
-    w = window[model.perm].reshape(cy, cx, -1)
-    x_re = mm("yxt,tf->yxf", w, model.dft[0])               # [Cy, Cx, F]
-    x_im = mm("yxt,tf->yxf", w, model.dft[1])
+    # Forward DFT, re|im in one matmul; permutation (if any) as a one-hot
+    # matmul on the (smaller) spectrum.
+    x_ri = mm("ct,tf->cf", window, model.dft)               # [C, 2F]
+    if model.perm_matrix is not None:
+        x_ri = mm("sc,cf->sf", model.perm_matrix, x_ri)
+    x = x_ri.reshape(cy, cx, 2, f_half)
+    x_re, x_im = x[..., 0, :], x[..., 1, :]                 # [Cy, Cx, F]
     exr, exi = model.ex
     eyr, eyi = model.ey
-    b1_re = mm("fdc,ycf->dyf", exr, x_re) - mm("fdc,ycf->dyf", exi, x_im)
-    b1_im = mm("fdc,ycf->dyf", exr, x_im) + mm("fdc,ycf->dyf", exi, x_re)
-    b2_re = mm("fdc,xcf->dxf", eyr, b1_re) - mm("fdc,xcf->dxf", eyi, b1_im)
-    b2_im = mm("fdc,xcf->dxf", eyr, b1_im) + mm("fdc,xcf->dxf", eyi, b1_re)
+    # Complex contractions with re/im stacked along the contracted channel
+    # axis: one einsum per output plane instead of two plus a subtract.
+    ex_s = jnp.concatenate([exr, exi], axis=-1)             # [F, Dx, 2Cx]
+    x_for_re = jnp.concatenate([x_re, -x_im], axis=1)       # [Cy, 2Cx, F]
+    x_for_im = jnp.concatenate([x_im, x_re], axis=1)
+    b1_re = mm("fdc,ycf->dyf", ex_s, x_for_re)              # [Dx, Cy, F]
+    b1_im = mm("fdc,ycf->dyf", ex_s, x_for_im)
+    ey_s = jnp.concatenate([eyr, eyi], axis=-1)             # [F, Dy, 2Cy]
+    b1_for_re = jnp.concatenate([b1_re, -b1_im], axis=1)    # [Dx, 2Cy, F]
+    b1_for_im = jnp.concatenate([b1_im, b1_re], axis=1)
+    b2_re = mm("fdc,xcf->dxf", ey_s, b1_for_re)             # [Dy, Dx, F]
+    b2_im = mm("fdc,xcf->dxf", ey_s, b1_for_im)
     if model.dead is not None:
         xdr, xdi, ydr, ydi, chan = model.dead
         wd = window[chan]
-        sr = mm("nt,tf->nf", wd, model.dft[0])              # [Nd, F]
-        si = mm("nt,tf->nf", wd, model.dft[1])
+        s_ri = mm("nt,tf->nf", wd, model.dft)               # [Nd, 2F]
+        sr, si = s_ri[:, :f_half], s_ri[:, f_half:]
         # t1 = ex * s (complex, elementwise over f, n) then contract n
         # against ey — avoids a [F, Dx, Dy, Nd] intermediate.
         srt = sr.T[:, None, :]                              # [F, 1, Nd]
@@ -320,9 +345,8 @@ def fft_heatmap_powers(window, model: FftHeatmapModel):
             jnp.einsum("fxn,fyn->yxf", t1_r, ydi)
             + jnp.einsum("fxn,fyn->yxf", t1_i, ydr)
         )
-    beam = mm("yxf,ft->yxt", b2_re, model.idft[0]) + mm(
-        "yxf,ft->yxt", b2_im, model.idft[1]
-    )                                                       # [Dy, Dx, T]
+    b2_ri = jnp.concatenate([b2_re, b2_im], axis=-1)        # [Dy, Dx, 2F]
+    beam = mm("yxf,ft->yxt", b2_ri, model.idft)             # [Dy, Dx, T]
     beam = beam.reshape(model.rows * model.columns, t)
     powers = dl.das_power(
         beam, use_bandpass=model.use_bandpass, divisor=t * model.n_active

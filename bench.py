@@ -203,7 +203,7 @@ def main():
 
     # Separable frequency-domain heatmap (ops/fft_das.py): the 256-mic
     # cluster is a contiguous 16x16 lattice, so the DAS sum factors into two
-    # tiny per-bin transforms (~70x fewer FLOPs than the dense stencil,
+    # tiny per-bin transforms (~20x fewer FLOPs than the dense stencil,
     # exact sinc fractional delays).  Complex-free by construction (the
     # axon tunnel rejects complex dtypes); model operands are a few MB —
     # safe to close over even on the remote-compile path.
