@@ -96,27 +96,42 @@ def make_awpu_step(
             f"(max steering delay + {taps} taps) but DspConfig.shift_range "
             f"is {dsp.shift_range}; raise it (and history if needed)"
         )
-    mimo_weights = dl.das_weights_np(delays, dsp.shift_range, dsp.interp, fir_bank)
-
-    # Separable frequency-domain heatmap (ops/fft_das.py): exact, ~250x
-    # fewer FLOPs; available for planar-lattice arrays + binary masks on a
-    # single device.  None -> dense shift-matmul path.
+    # Separable frequency-domain heatmap (ops/fft_das.py): exact, ~20x
+    # fewer FLOPs; available for planar-lattice arrays + binary masks.
+    # Under a mesh the kernel is so cheap that the optimal SPMD form is
+    # full replication: every shard computes all D directions (needs the
+    # full channel axis, so the ch mesh axis must be size 1) and slices
+    # its own direction chunk — zero communication.  None -> dense path.
     fft_model = None
-    if cfg.mimo.backend == "fft" and mesh is None and enable_mimo:
+    mesh_ch_is_full = mesh is None or (
+        CH_AXIS not in mesh.axis_names
+        or dict(zip(mesh.axis_names, mesh.devices.shape)).get(CH_AXIS, 1) == 1
+    )
+    if cfg.mimo.backend == "fft" and enable_mimo:
         from beamforming_lk_tpu.ops import fft_das as fd
 
-        fft_model = fd.make_fft_heatmap_model(
-            points_np, cfg.mimo, dsp, arr, channel_mask=mask_np,
-            compute=dsp.compute,
-        )
+        if mesh_ch_is_full:
+            fft_model = fd.make_fft_heatmap_model(
+                points_np, cfg.mimo, dsp, arr, channel_mask=mask_np,
+                compute=dsp.compute,
+            )
         if fft_model is None:
             import sys
 
             print(
-                "mimo backend 'fft' unavailable for this geometry/mask; "
-                "using dense",
+                "mimo backend 'fft' unavailable for this "
+                "geometry/mask/mesh; using dense",
                 file=sys.stderr,
             )
+
+    if fft_model is None:
+        mimo_weights = dl.das_weights_np(
+            delays, dsp.shift_range, dsp.interp, fir_bank
+        )
+    else:
+        # Placeholder so the disabled/zeros branch and shard specs keep
+        # their shapes without materializing the unused dense stencil.
+        mimo_weights = np.zeros((cfg.mimo.n_directions, 1, 1), np.float32)
 
     axis_name = CH_AXIS if (mesh is not None and CH_AXIS in mesh.axis_names) else None
     # Probe stencil span sized from the FULL aperture (points_np before any
@@ -142,10 +157,23 @@ def make_awpu_step(
             from beamforming_lk_tpu.ops import fft_das as fd
 
             powers = fd.fft_heatmap_powers(window, fft_model)
+            if axis_name is not None:
+                # The ch mesh axis is size 1 here (fft needs all channels);
+                # this identity psum just tells shard_map's replication
+                # checker the powers are uniform across it.
+                powers = jax.lax.psum(powers, axis_name)
             prev_max = (
                 jnp.max(powers) * cfg.mimo.ema_alpha
                 + (1.0 - cfg.mimo.ema_alpha) * state.prev_max
             )
+            if mesh is not None and DIR_AXIS in mesh.axis_names:
+                # Replicated compute -> slice this shard's direction chunk
+                # (out spec P(dir)); the EMA max is already global.
+                n_dir = dict(zip(mesh.axis_names, mesh.devices.shape))[DIR_AXIS]
+                d_local = d_total // n_dir
+                powers = jax.lax.dynamic_slice_in_dim(
+                    powers, jax.lax.axis_index(DIR_AXIS) * d_local, d_local
+                )
         elif enable_mimo:
             w = mimo_w if mask is None else mimo_w * mask[:, None]
             if dsp.compute == "bfloat16":

@@ -37,7 +37,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from beamforming_lk_tpu.app import awpu_init, make_awpu_step  # noqa: E402
-from beamforming_lk_tpu.config import Config, DspConfig, MimoConfig  # noqa: E402
+from beamforming_lk_tpu.config import (  # noqa: E402
+    Config,
+    DspConfig,
+    MimoConfig,
+    TrackerConfig,
+)
 from beamforming_lk_tpu.ops import antenna as ant  # noqa: E402
 
 SAMPLE_RATE = 48828.0
@@ -87,6 +92,16 @@ def main():
             base,
             dsp=DspConfig(compute="bfloat16", probe_compute="bfloat16"),
             mimo=MimoConfig(backend="fft"),
+        ),
+        # Real-time-faithful tracker cadence: the reference's update loop
+        # runs only until the next block lands (~1-2 iterations at real
+        # time, gradient_ascend.cpp:315); our default of 10 is a
+        # deterministic superset.  iterations=2 is the deployment profile.
+        "bf16_fft_iter2": dataclasses.replace(
+            base,
+            dsp=DspConfig(compute="bfloat16", probe_compute="bfloat16"),
+            mimo=MimoConfig(backend="fft"),
+            tracker=TrackerConfig(iterations=2),
         ),
     }
     points = ant.create_antenna_grid(8, 8, 0.02)

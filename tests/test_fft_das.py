@@ -167,6 +167,36 @@ def test_fft_heatmap_peaks_at_source_and_tracks_dense():
     assert d < 6.0, d
 
 
+def test_awpu_step_fft_backend_dir_sharded():
+    # fft backend under a (ch=1, dir=4) mesh: replicated compute, per-shard
+    # direction slice — must match the single-device fft step exactly.
+    import jax
+    import numpy as np
+
+    from beamforming_lk_tpu.app import awpu_init, make_awpu_step
+    from beamforming_lk_tpu.config import Config
+    from beamforming_lk_tpu.io.synthetic import synthetic_blocks
+    from beamforming_lk_tpu.parallel import mesh as pm
+
+    cfg = Config(mimo=MimoConfig(rows=16, columns=16, backend="fft"))
+    pts = ant.create_antenna_grid(8, 8, 0.02)
+    mesh = pm.make_mesh((1, 4), devices=jax.devices()[:4])
+    step_m = make_awpu_step(pts, cfg, mesh=mesh)
+    step_1 = make_awpu_step(pts, cfg)
+    sm = awpu_init(cfg, 64, mesh=mesh, seed=0)
+    s1 = awpu_init(cfg, 64, seed=0)
+    for b in synthetic_blocks(pts, [(0.4, 1.0, 5000.0)], 4):
+        b = jnp.asarray(b)
+        sm, om = step_m(sm, b)
+        s1, o1 = step_1(s1, b)
+    np.testing.assert_allclose(
+        np.asarray(om.powers), np.asarray(o1.powers), rtol=1e-5, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(om.prev_max), np.asarray(o1.prev_max), rtol=1e-5
+    )
+
+
 def test_awpu_step_fft_backend():
     import dataclasses
 
