@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--blur", type=float, default=0.0, help="gaussian blur sigma")
     p.add_argument("--mvdr", action="store_true",
                    help="adaptive (Capon) heatmap instead of DAS power")
+    p.add_argument("--realtime", action="store_true",
+                   help="deployment profile: bf16 compute + fft heatmap + "
+                        "2-iteration tracker cadence (~3x throughput, "
+                        "see docs/performance.md)")
     p.add_argument("--heatmap-backend", choices=["dense", "fft"],
                    default="dense",
                    help="DAS heatmap compute: dense shift-matmul or the "
@@ -161,6 +165,8 @@ def main(argv=None) -> int:
                         fov_degrees=args.fov, backend=args.heatmap_backend),
         tracker=TrackerConfig(fov_degrees=args.fov),
     )
+    if args.realtime:
+        cfg = cfg.realtime()
     n_arrays = max(args.arrays, len(args.port or []))
     camera = None
     if args.camera is not None:

@@ -152,13 +152,14 @@ class ControlUnit:
             if self.blur_sigma > 0:
                 img = gaussian_blur(img, self.blur_sigma)
             rgb = apply_colormap(img, self.lut)
-            if cam_frame is not None and tile_i == 0:
+            camera_tile = cam_frame is not None and tile_i == 0
+            if camera_tile:
                 # Composite the heatmap over the (square-resized) camera view
-                # — camera mode replaces the circular mask in the reference.
+                # — camera mode replaces the circular mask in the reference
+                # (only on THIS tile; other tiles keep their mask).
                 cam_sq = nearest_resize(cam_frame, (self.frame_size, self.frame_size))
                 rgb = blend_underlay(cam_sq, rgb)
-                circle_mask = False
-            if circle_mask:
+            if circle_mask and not camera_tile:
                 n = self.frame_size
                 yy, xx = np.mgrid[0:n, 0:n]
                 r = (2.0 * xx / (n - 1) - 1.0) ** 2 + (2.0 * yy / (n - 1) - 1.0) ** 2

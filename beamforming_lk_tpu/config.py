@@ -172,3 +172,19 @@ class Config:
         default_factory=TriangulationConfig
     )
     pipeline: PipelineConfig = dataclasses.field(default_factory=PipelineConfig)
+
+    def realtime(self) -> "Config":
+        """The measured deployment profile (docs/performance.md): bf16
+        compute, separable-fft heatmap, and the reference's real
+        until-next-block tracker cadence (~2 iterations,
+        gradient_ascend.cpp:315) — ~3x the default profile's fused-step
+        throughput with validated tracking quality.  Defaults stay on the
+        f32/dense/10-iteration parity profile."""
+        return dataclasses.replace(
+            self,
+            dsp=dataclasses.replace(
+                self.dsp, compute="bfloat16", probe_compute="bfloat16"
+            ),
+            mimo=dataclasses.replace(self.mimo, backend="fft"),
+            tracker=dataclasses.replace(self.tracker, iterations=2),
+        )

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import socket
+import sys
 from typing import NamedTuple, Optional
 
 
@@ -58,7 +59,8 @@ class GpsdClient:
             sock.setblocking(False)
             return cls(sock)
         except OSError as e:
-            print(f"GPS connection failed ({e}); continuing without GPS")
+            print(f"GPS connection failed ({e}); continuing without GPS",
+                  file=sys.stderr)
             return None
 
     def poll(self) -> Optional[GpsFix]:

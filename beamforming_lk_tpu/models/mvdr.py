@@ -21,6 +21,7 @@ across the pod" story).
 
 from __future__ import annotations
 
+import contextlib
 from typing import NamedTuple
 
 import jax
@@ -65,7 +66,7 @@ def _complex_safe_device():
 
 def mvdr_init(n_bins: int, channels: int) -> MvdrState:
     dev = _complex_safe_device()
-    with jax.default_device(dev) if dev is not None else _nullcontext():
+    with jax.default_device(dev) if dev is not None else contextlib.nullcontext():
         eye = jnp.eye(channels, dtype=jnp.complex64)
         return MvdrState(
             cov=jnp.broadcast_to(eye, (n_bins, channels, channels)).astype(
@@ -73,14 +74,6 @@ def mvdr_init(n_bins: int, channels: int) -> MvdrState:
             ),
             count=jnp.zeros((), jnp.int32),
         )
-
-
-class _nullcontext:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *exc):
-        return False
 
 
 def select_bins(
@@ -148,7 +141,7 @@ def make_mvdr_step(
     bins = select_bins(frame_size, array_cfg.sample_rate, f_low, f_high)
     freqs = np.fft.rfftfreq(frame_size, 1.0 / array_cfg.sample_rate)[bins]
     dev = _complex_safe_device()
-    with jax.default_device(dev) if dev is not None else _nullcontext():
+    with jax.default_device(dev) if dev is not None else contextlib.nullcontext():
         v = jnp.asarray(steering_matrix(points, theta, phi, freqs, array_cfg))
         window_fn = jnp.asarray(np.hanning(frame_size).astype(np.float32))
         mask = (

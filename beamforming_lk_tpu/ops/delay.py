@@ -37,6 +37,10 @@ import numpy as np
 
 LINEAR_TAPS = 2
 
+#: Integer sample delay of the polyphase FIR bank's center tap (the
+#: default ``center`` of :func:`fractional_delay_fir_bank`).
+FIR_DEFAULT_CENTER = 4.0
+
 
 def probe_span(
     points,
@@ -68,7 +72,7 @@ def probe_span(
 
 
 def fractional_delay_fir_bank(
-    phases: int = 101, taps: int = 8, center: float = 4.0
+    phases: int = 101, taps: int = 8, center: float = FIR_DEFAULT_CENTER
 ) -> np.ndarray:
     """Windowed-sinc fractional-delay filter bank, shape [phases, taps].
 

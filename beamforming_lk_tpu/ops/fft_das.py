@@ -203,7 +203,12 @@ def make_fft_heatmap_model(
     raw_y = -spm * np.outer(uy, lat.y)                # [Dy, Cy]
     mx = raw_x.min(axis=1, keepdims=True)             # [Dx, 1]
     my = raw_y.min(axis=1, keepdims=True)             # [Dy, 1]
-    dx_shift = (s - taps) + 1 + mx - raw_x            # [Dx, Cx]
+    # Alignment offset: the dense linear path effectively delays by
+    # tau - 1 (the backwards-interp quirk above), the polyphase-FIR path
+    # by tau - center (the bank reconstructs x(n + center - frac),
+    # ops/delay.py) — match whichever interp this config uses.
+    offset = 1.0 if dsp_cfg.interp == "linear" else dl.FIR_DEFAULT_CENTER
+    dx_shift = (s - taps) + offset + mx - raw_x       # [Dx, Cx]
     dy_shift = my - raw_y                             # [Dy, Cy]
     ang_x = 2.0 * np.pi * f[:, None, None] * dx_shift[None] / L
     ang_y = 2.0 * np.pi * f[:, None, None] * dy_shift[None] / L
@@ -338,12 +343,10 @@ def fft_heatmap_powers(window, model: FftHeatmapModel):
         t1_r = xdr * srt - xdi * sit                        # [F, Dx, Nd]
         t1_i = xdr * sit + xdi * srt
         b2_re = b2_re - (
-            jnp.einsum("fxn,fyn->yxf", t1_r, ydr)
-            - jnp.einsum("fxn,fyn->yxf", t1_i, ydi)
+            mm("fxn,fyn->yxf", t1_r, ydr) - mm("fxn,fyn->yxf", t1_i, ydi)
         )
         b2_im = b2_im - (
-            jnp.einsum("fxn,fyn->yxf", t1_r, ydi)
-            + jnp.einsum("fxn,fyn->yxf", t1_i, ydr)
+            mm("fxn,fyn->yxf", t1_r, ydi) + mm("fxn,fyn->yxf", t1_i, ydr)
         )
     b2_ri = jnp.concatenate([b2_re, b2_im], axis=-1)        # [Dy, Dx, 2F]
     beam = mm("yxf,ft->yxt", b2_ri, model.idft)             # [Dy, Dx, T]

@@ -101,6 +101,34 @@ def test_fft_dead_channel_subtraction():
     )
 
 
+def test_fft_fir_mode_alignment():
+    # With DspConfig(interp="fir") the dense path's effective delay is
+    # tau - center (8-tap polyphase bank); the fft backend must use the
+    # same alignment offset so the two agree on a physical source.
+    from beamforming_lk_tpu.io import ring_init, ring_push, ring_window
+    from beamforming_lk_tpu.io.synthetic import synthetic_blocks
+
+    dsp = DspConfig(interp="fir")
+    mimo = MimoConfig(rows=16, columns=16, fov_degrees=120.0)
+    pts = ant.create_antenna_grid(8, 8, 0.02)
+    hist = ring_init(64, dsp.history)
+    for b in synthetic_blocks(pts, [(0.35, 2.0, 5000.0)], 6):
+        hist = ring_push(hist, b)
+    window = ring_window(hist, dsp.block_size, dsp.shift_range, dsp.fir_taps)
+
+    model = fd.make_fft_heatmap_model(pts, mimo, dsp, ACFG)
+    p_fft = np.asarray(fd.fft_heatmap_powers(window, model))
+
+    bank = dl.fractional_delay_fir_bank(dsp.fir_phases, dsp.fir_taps)
+    theta, phi = mm.make_mimo_grid(mimo)
+    delays = ant.steering_delays_np(pts, theta, phi, ACFG.samples_per_meter)
+    w = dl.das_weights_np(delays, dsp.shift_range, "fir", bank)
+    beam = dl.das_beam(window, jnp.asarray(w))
+    p_dense = np.asarray(dl.das_power(beam, divisor=dsp.block_size * 64))
+    assert p_fft.argmax() == p_dense.argmax()
+    assert np.corrcoef(p_fft, p_dense)[0, 1] > 0.99
+
+
 def test_fft_bf16_mode_close_to_f32():
     mimo = MimoConfig(rows=12, columns=12, fov_degrees=120.0)
     pts = ant.create_antenna_grid(8, 8, 0.02)
