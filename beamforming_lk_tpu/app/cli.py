@@ -67,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="deployment profile: bf16 compute + fft heatmap + "
                         "2-iteration tracker cadence (~3x throughput, "
                         "see docs/performance.md)")
+    p.add_argument("--phat", action="store_true",
+                   help="SRP-PHAT spectral whitening for the heatmap "
+                        "(robust localization; implies --heatmap-backend fft)")
     p.add_argument("--heatmap-backend", choices=["dense", "fft"],
                    default="dense",
                    help="DAS heatmap compute: dense shift-matmul or the "
@@ -160,9 +163,11 @@ def main(argv=None) -> int:
 
     # Reference default: MIMO on unless only other workers requested.
     enable_mimo = args.mimo or not (args.tracking or args.miso)
+    backend = "fft" if args.phat else args.heatmap_backend
     cfg = Config(
         mimo=MimoConfig(rows=args.mimo_res, columns=args.mimo_res,
-                        fov_degrees=args.fov, backend=args.heatmap_backend),
+                        fov_degrees=args.fov, backend=backend,
+                        phat=args.phat),
         tracker=TrackerConfig(fov_degrees=args.fov),
     )
     if args.realtime:

@@ -92,6 +92,11 @@ class MimoConfig:
     # with binary channel masks on a single device; falls back to dense
     # when those conditions do not hold).
     backend: str = "dense"
+    # SRP-PHAT: whiten each channel's spectrum to unit magnitude before
+    # beamforming (steered-response power with phase transform) — the
+    # standard robust localization weighting for reverberant/colored
+    # environments.  Capability beyond the reference; fft backend only.
+    phat: bool = False
 
     @property
     def n_directions(self) -> int:

@@ -162,6 +162,8 @@ class FftHeatmapModel:
     n_active: float
     use_bandpass: bool
     compute: str = "float32"    # matmul input dtype ("float32" | "bfloat16")
+    phat: bool = False          # SRP-PHAT: whiten spectra to unit magnitude
+    band_weight: Optional[jax.Array] = None  # [F] per-bin weight (PHAT band)
 
 
 def make_fft_heatmap_model(
@@ -171,6 +173,7 @@ def make_fft_heatmap_model(
     array_cfg,
     channel_mask=None,
     compute: Optional[str] = None,
+    phat_band=(550.0, 9000.0),
 ) -> Optional[FftHeatmapModel]:
     """Precompute the separable steering factors, or None if this
     configuration does not factor (non-lattice points / gain masks)."""
@@ -285,6 +288,17 @@ def make_fft_heatmap_model(
         n_active=n_active,
         use_bandpass=dsp_cfg.use_bandpass,
         compute=compute or "float32",
+        phat=bool(getattr(mimo_cfg, "phat", False)),
+        band_weight=(
+            jnp.asarray(
+                (
+                    (f * array_cfg.sample_rate / L >= phat_band[0])
+                    & (f * array_cfg.sample_rate / L <= phat_band[1])
+                ).astype(np.float32)
+            )
+            if getattr(mimo_cfg, "phat", False)
+            else None
+        ),
     )
 
 
@@ -317,6 +331,18 @@ def fft_heatmap_powers(window, model: FftHeatmapModel):
         x_ri = mm("sc,cf->sf", model.perm_matrix, x_ri)
     x = x_ri.reshape(cy, cx, 2, f_half)
     x_re, x_im = x[..., 0, :], x[..., 1, :]                 # [Cy, Cx, F]
+    if model.phat:
+        # SRP-PHAT whitening: keep only phase per (channel, bin) so the
+        # steered response depends on arrival-time structure, not spectral
+        # color — robust to reverberation and loud narrowband sources.
+        mag = jnp.sqrt(x_re * x_re + x_im * x_im) + 1e-12
+        x_re = x_re / mag
+        x_im = x_im / mag
+        if model.band_weight is not None:
+            # Restrict to the band of interest (the reference's 550-9000 Hz
+            # filter envelope) — whitened out-of-band bins carry only noise.
+            x_re = x_re * model.band_weight
+            x_im = x_im * model.band_weight
     exr, exi = model.ex
     eyr, eyi = model.ey
     # Complex contractions with re/im stacked along the contracted channel
@@ -336,6 +362,12 @@ def fft_heatmap_powers(window, model: FftHeatmapModel):
         wd = window[chan]
         s_ri = mm("nt,tf->nf", wd, model.dft)               # [Nd, 2F]
         sr, si = s_ri[:, :f_half], s_ri[:, f_half:]
+        if model.phat:
+            magd = jnp.sqrt(sr * sr + si * si) + 1e-12
+            sr, si = sr / magd, si / magd
+            if model.band_weight is not None:
+                sr = sr * model.band_weight
+                si = si * model.band_weight
         # t1 = ex * s (complex, elementwise over f, n) then contract n
         # against ey — avoids a [F, Dx, Dy, Nd] intermediate.
         srt = sr.T[:, None, :]                              # [F, 1, Nd]

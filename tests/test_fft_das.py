@@ -101,6 +101,43 @@ def test_fft_dead_channel_subtraction():
     )
 
 
+def test_srp_phat_peaks_and_is_level_invariant():
+    # PHAT whitening: the steered-response map must still peak at the
+    # source, and (unlike plain DAS power) be invariant to signal level.
+    from beamforming_lk_tpu.io import ring_init, ring_push, ring_window
+    from beamforming_lk_tpu.io.synthetic import synthetic_blocks
+
+    mimo = MimoConfig(rows=16, columns=16, fov_degrees=120.0, phat=True)
+    pts = ant.create_antenna_grid(8, 8, 0.02)
+    model = fd.make_fft_heatmap_model(pts, mimo, DCFG, ACFG)
+    assert model.phat
+
+    # PHAT weights every bin equally, so use a broadband source (multiple
+    # tones from ONE direction) — the whitening assumption.
+    tones = [(0.35, 2.0, f) for f in (1000.0, 2500.0, 4000.0, 5500.0,
+                                      7000.0, 8500.0, 10000.0, 12000.0)]
+
+    def heatmap(amplitude):
+        hist = ring_init(64, DCFG.history)
+        for b in synthetic_blocks(pts, tones, 6, amplitude=amplitude, seed=4):
+            hist = ring_push(hist, b)
+        w = ring_window(hist, DCFG.block_size, DCFG.shift_range, 2)
+        return np.asarray(fd.fft_heatmap_powers(w, model))
+
+    p1 = heatmap(1e-2)
+    p2 = heatmap(1e-1)  # 10x louder source
+    theta, phi = mm.make_mimo_grid(mimo)
+    from beamforming_lk_tpu.ops.geometry import spherical_angle
+
+    k = p1.argmax()
+    d = math.degrees(float(spherical_angle(float(theta[k]), float(phi[k]), 0.35, 2.0)))
+    assert d < 8.0, d
+    # Whitened response: 100x power change in the input moves the map by
+    # only a small factor (noise floor), not 100x.
+    ratio = p2.max() / p1.max()
+    assert ratio < 3.0, ratio
+
+
 def test_fft_fir_mode_alignment():
     # With DspConfig(interp="fir") the dense path's effective delay is
     # tau - center (8-tap polyphase bank); the fft backend must use the
