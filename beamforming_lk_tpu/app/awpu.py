@@ -410,6 +410,18 @@ class AwpuPipeline:
             self._mvdr_state = mv.mvdr_init(n_bins, self.points.shape[1])
             self._mvdr_powers = None
             self._mvdr_prev = jnp.zeros((), jnp.float32)
+        elif heatmap_mode == "music":
+            # Subspace DOA pseudo-spectrum (models/music.py) rendered
+            # through the same heatmap path as MVDR.
+            from beamforming_lk_tpu.models import music as mu
+
+            theta, phi = mm.make_mimo_grid(cfg.mimo)
+            self._mvdr_step, n_bins = mu.make_music_step(
+                self.points, theta, phi, cfg.array, channel_mask=channel_mask
+            )
+            self._mvdr_state = mu.music_init(n_bins, self.points.shape[1])
+            self._mvdr_powers = None
+            self._mvdr_prev = jnp.zeros((), jnp.float32)
         if mesh is not None:
             ch = CH_AXIS if CH_AXIS in mesh.axis_names else None
             self._block_sharding = NamedSharding(mesh, P(ch, None))

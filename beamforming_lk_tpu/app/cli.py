@@ -63,6 +63,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--blur", type=float, default=0.0, help="gaussian blur sigma")
     p.add_argument("--mvdr", action="store_true",
                    help="adaptive (Capon) heatmap instead of DAS power")
+    p.add_argument("--music", action="store_true",
+                   help="MUSIC subspace DOA pseudo-spectrum heatmap")
     p.add_argument("--realtime", action="store_true",
                    help="deployment profile: bf16 compute + fft heatmap + "
                         "2-iteration tracker cadence (~3x throughput, "
@@ -189,7 +191,9 @@ def main(argv=None) -> int:
         enable_miso=args.miso,
         colormap=args.colormap,
         blur_sigma=args.blur,
-        heatmap_mode="mvdr" if args.mvdr else "das",
+        heatmap_mode=(
+            "music" if args.music else "mvdr" if args.mvdr else "das"
+        ),
         flip=args.flipped,
         circle_mask=args.aesthetic,
         channels=args.channels,

@@ -1,0 +1,105 @@
+"""Wideband MUSIC DOA estimation tests."""
+
+import math
+
+import numpy as np
+
+from beamforming_lk_tpu.config import ArrayConfig, DspConfig, MimoConfig
+from beamforming_lk_tpu.io import ring_init  # noqa: F401  (parity with siblings)
+from beamforming_lk_tpu.io.synthetic import plane_wave_block
+from beamforming_lk_tpu.models import music as mu
+from beamforming_lk_tpu.models import mimo as mm
+from beamforming_lk_tpu.ops import antenna as ant
+from beamforming_lk_tpu.ops.geometry import spherical_angle
+
+ACFG = ArrayConfig()
+DCFG = DspConfig()
+
+
+def _run_music(sources, n_blocks=12, n_sources=3, grid=24):
+    pts = ant.create_antenna_grid(8, 8, 0.02)
+    mimo = MimoConfig(rows=grid, columns=grid, fov_degrees=120.0)
+    theta, phi = mm.make_mimo_grid(mimo)
+    step, n_bins = mu.make_music_step(
+        pts, theta, phi, ACFG, n_sources=n_sources
+    )
+    assert n_bins > 0
+    state = mu.music_init(n_bins, 64)
+    pseudo = None
+    for b in range(n_blocks):
+        block = plane_wave_block(
+            pts, sources, b * DCFG.block_size, DCFG.block_size, ACFG,
+            noise_std=0.02,
+        )
+        state, pseudo = step(state, np.asarray(block))
+    return np.asarray(pseudo), theta, phi
+
+
+def _peak_errors(pseudo, theta, phi, sources, top=2):
+    order = np.argsort(pseudo)[::-1]
+    errs = []
+    for s_theta, s_phi, _f in sources:
+        best = min(
+            math.degrees(
+                float(spherical_angle(float(theta[k]), float(phi[k]), s_theta, s_phi))
+            )
+            for k in order[: top * 12]
+        )
+        errs.append(best)
+    return errs
+
+
+def test_music_resolves_two_sources():
+    sources = [
+        (math.radians(20.0), math.radians(45.0), 4000.0),
+        (math.radians(35.0), math.radians(200.0), 6500.0),
+    ]
+    pseudo, theta, phi = _run_music(sources)
+    assert np.all(np.isfinite(pseudo)) and pseudo.max() > 0
+    errs = _peak_errors(pseudo, theta, phi, sources)
+    assert max(errs) < 8.0, errs
+
+
+def test_music_pseudo_spectrum_is_peaky():
+    sources = [(math.radians(25.0), math.radians(90.0), 5000.0)]
+    pseudo, theta, phi = _run_music(sources, n_sources=2)
+    k = pseudo.argmax()
+    d = math.degrees(
+        float(spherical_angle(float(theta[k]), float(phi[k]), *sources[0][:2]))
+    )
+    assert d < 6.0, d
+    # Subspace pseudo-spectrum: peak towers over the median (the exact
+    # ratio depends on grid sampling — the true maximum falls between
+    # pixels — and the EMA-warmed covariance).
+    assert pseudo.max() / np.median(pseudo) > 15.0
+
+
+def test_music_rejects_bad_model_order():
+    pts = ant.create_antenna_grid(8, 8, 0.02)
+    mimo = MimoConfig(rows=8, columns=8)
+    theta, phi = mm.make_mimo_grid(mimo)
+    import pytest
+
+    with pytest.raises(ValueError):
+        mu.make_music_step(pts, theta, phi, ACFG, n_sources=0)
+    with pytest.raises(ValueError):
+        mu.make_music_step(pts, theta, phi, ACFG, n_sources=64)
+
+
+def test_music_pipeline_mode():
+    from beamforming_lk_tpu.app import AwpuPipeline
+    from beamforming_lk_tpu.config import Config
+
+    cfg = Config(mimo=MimoConfig(rows=8, columns=8))
+    pipe = AwpuPipeline(
+        cfg, enable_tracker=False, enable_miso=False, heatmap_mode="music"
+    )
+    pts = pipe.points
+    for b in range(4):
+        block = plane_wave_block(
+            pts, [(0.4, 1.0, 5000.0)], b * cfg.dsp.block_size,
+            cfg.dsp.block_size, cfg.array, noise_std=0.02,
+        )
+        pipe.process_block(block)
+    hm = pipe.heatmap()
+    assert hm.shape == (8, 8) and hm.max() == 255
