@@ -115,3 +115,22 @@ def test_overlay_draws_markers():
     assert out is frame
     assert (frame == 255).any()          # markers drawn
     assert (frame[..., 0] == 255).sum() > (frame[..., 2] == 255).sum()  # red crosshair present
+
+
+def test_draw_text_and_age_labels():
+    import numpy as np
+
+    from beamforming_lk_tpu.utils.overlay import draw_text, overlay_targets
+
+    frame = np.zeros((64, 64, 3), np.uint8)
+    draw_text(frame, 2, 2, "123s", (255, 255, 255))
+    assert frame.any()
+    # Age labels render when now_block is provided and add pixels beyond
+    # the bare square markers.
+    base = np.zeros((64, 64, 3), np.uint8)
+    tgts = [{"theta": 0.3, "phi": 1.0, "start": 0.0}]
+    with_age = overlay_targets(
+        np.zeros((64, 64, 3), np.uint8), tgts, now_block=191.0
+    )
+    without = overlay_targets(np.zeros((64, 64, 3), np.uint8), tgts)
+    assert (with_age > 0).sum() > (without > 0).sum()
