@@ -177,6 +177,8 @@ class ControlUnit:
                 overlay_targets(
                     rgb, targets, self.cfg.mimo.fov_degrees,
                     miso_direction=miso_dir, flip=flip,
+                    now_block=float(np.asarray(pipe.state.block_index)),
+                    block_seconds=self.cfg.dsp.block_seconds,
                 )
             tiles.append(rgb)
         self.fps.tick()

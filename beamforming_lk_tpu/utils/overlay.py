@@ -65,6 +65,44 @@ def draw_circle(frame: np.ndarray, row: int, col: int, radius: int, color) -> No
     frame[ring] = color
 
 
+# 3x5 bitmap glyphs for the tracker age labels (the reference's
+# cv::putText ages, gradient_ascend.cpp:181-233) — pure numpy, no cv2.
+_GLYPHS = {
+    "0": ["111", "101", "101", "101", "111"],
+    "1": ["010", "110", "010", "010", "111"],
+    "2": ["111", "001", "111", "100", "111"],
+    "3": ["111", "001", "111", "001", "111"],
+    "4": ["101", "101", "111", "001", "001"],
+    "5": ["111", "100", "111", "001", "111"],
+    "6": ["111", "100", "111", "101", "111"],
+    "7": ["111", "001", "010", "010", "010"],
+    "8": ["111", "101", "111", "101", "111"],
+    "9": ["111", "101", "111", "001", "111"],
+    "s": ["000", "011", "110", "011", "110"],
+}
+
+
+def draw_text(frame: np.ndarray, row: int, col: int, text: str, color,
+              scale: int = 1) -> None:
+    """Render digits/'s' at (row, col) with a 3x5 bitmap font, in place."""
+    h, w = frame.shape[:2]
+    x = col
+    for ch in text:
+        glyph = _GLYPHS.get(ch)
+        if glyph is None:
+            x += 2 * scale
+            continue
+        for gr, line in enumerate(glyph):
+            for gc, bit in enumerate(line):
+                if bit != "1":
+                    continue
+                r0 = row + gr * scale
+                c0 = x + gc * scale
+                if 0 <= r0 and r0 + scale <= h and 0 <= c0 and c0 + scale <= w:
+                    frame[r0 : r0 + scale, c0 : c0 + scale] = color
+        x += 4 * scale
+
+
 def nearest_resize(img: np.ndarray, shape) -> np.ndarray:
     """Nearest-neighbor resize of an [H, W, ...] image to (h, w)."""
     img = np.asarray(img)
@@ -100,10 +138,14 @@ def overlay_targets(
     miso_direction: Optional[tuple] = None,
     lead_direction: Optional[tuple] = None,
     flip: bool = False,
+    now_block: Optional[float] = None,
+    block_seconds: float = 256.0 / 48828.0,
 ) -> np.ndarray:
     """Draw tracker markers onto an RGB frame (in place; also returned).
 
     - square per published target (gradient_ascend.cpp:181-233)
+    - age label in seconds next to each square when ``now_block`` (the
+      current block counter) is given — the reference's putText ages
     - crosshair on the oldest target (the reference's 'locked' marker)
     - optional circle at the MISO steer direction (miso.cpp:57-77)
     - optional circle at a KF lead direction (gradient_ascend.cpp:242-246)
@@ -120,7 +162,17 @@ def overlay_targets(
     oldest = None
     for t in targets:
         row, col = to_px(t["theta"], t["phi"])
-        draw_rect(frame, row, col, max(2, scale // 32), TRACKER_COLOR)
+        half = max(2, scale // 32)
+        draw_rect(frame, row, col, half, TRACKER_COLOR)
+        if now_block is not None:
+            age_s = max(0.0, (now_block - t["start"]) * block_seconds)
+            draw_text(
+                frame,
+                _clip(row - 2, 0, size - 1),
+                _clip(col + half + 2, 0, size - 1),
+                f"{int(round(age_s))}s",
+                TRACKER_COLOR,
+            )
         if oldest is None or t["start"] < oldest["start"]:
             oldest = t
     if oldest is not None:
