@@ -1,27 +1,33 @@
-"""Wideband frequency-domain MVDR (Capon) beamforming.
+"""Wideband frequency-domain MVDR (Capon) beamforming — complex-free.
 
 BASELINE.json's stretch config: the reference is time-domain DAS only; an
 adaptive beamformer suppresses interferers that DAS smears across the map.
-TPU-native formulation, fully batched over (bins, directions):
+TPU-native formulation, fully batched over (bins, directions) and — like
+every TPU path in this framework — free of complex dtypes (some remote-TPU
+deployments reject complex64 outright; real planes are also what the MXU
+wants, see ops/fft_das.py):
 
-  1. Split each [C, T] block into overlapping frames, STFT -> snapshots
-     ``X[F, C]`` per frame.
-  2. Per-bin spatial covariance EMA: ``R[F, C, C] <- (1-a) R + a X X^H``
-     with diagonal loading (keeps R well-conditioned while the EMA warms).
-  3. Steering: ``v[F, D, C] = exp(-2 pi i f tau_c / fs)`` from the SAME
-     min-subtracted steering delays the DAS kernel uses (ops/antenna.py).
-  4. Capon power: ``P[d] = sum_f 1 / (v^H R^-1 v)`` over selected bins —
-     computed with one batched Cholesky solve over F bins.
+  1. Split each [C, T] block into overlapping frames; per selected STFT bin
+     take re/im snapshot planes with two small cos/sin matmuls (the Hann
+     window is folded into the tables) — no rfft, no gather.
+  2. Per-bin spatial covariance EMA kept as (re, im) planes of the
+     Hermitian ``R``:  ``re`` symmetric, ``im`` antisymmetric.
+  3. Steering: re/im planes of ``v[F, D, C] = exp(+2 pi i f tau_c / fs)``
+     from the SAME min-subtracted steering delays the DAS kernel uses.
+  4. Capon power ``P[d] = sum_f 1 / (v^H R^-1 v)`` via the standard 2x2
+     real block embedding: the Hermitian-positive-definite ``R = Re + i Im``
+     maps to the real SPD ``M = [[Re, -Im], [Im, Re]]`` (size 2C), and
+     ``v^H R^-1 v = v_emb^T M^-1 v_emb`` with ``v_emb = [vr | vi]`` — one
+     batched real Cholesky + triangular solve over F bins.
 
-Every step is batched linear algebra (Cholesky over [F, C, C], einsum over
-[F, D, C]) — MXU work; bins are embarrassingly parallel, so on a mesh they
-shard over the ``dir`` axis with no communication (the "STFT bins sharded
-across the pod" story).
+Every step is batched real linear algebra (Cholesky over [F, 2C, 2C],
+einsum over [F, D, 2C]) — MXU work; bins are embarrassingly parallel, so on
+a mesh they shard over the ``dir`` axis with no communication (the "STFT
+bins sharded across the pod" story).
 """
 
 from __future__ import annotations
 
-import contextlib
 from typing import NamedTuple
 
 import jax
@@ -33,47 +39,20 @@ from beamforming_lk_tpu.ops import antenna as ant
 
 
 class MvdrState(NamedTuple):
-    cov: jnp.ndarray     # [F, C, C] complex64 EMA covariance
+    cov_re: jnp.ndarray  # [F, C, C] float32, symmetric plane of R
+    cov_im: jnp.ndarray  # [F, C, C] float32, antisymmetric plane of R
     count: jnp.ndarray   # [] int32 blocks folded in
 
 
-def _complex_safe_device():
-    """A device that supports complex dtypes, or None for the default.
-
-    Some remote-TPU deployments (the axon tunnel) reject complex64 outright
-    — and the first failed complex op poisons the whole process.  MVDR is
-    complex-valued linear algebra, so off-CPU backends without complex
-    support pin it to the host CPU device (the heatmap/tracker fast paths
-    are unaffected — they are complex-free by construction).
-    """
-    import os
-
-    try:
-        if jax.default_backend() == "cpu":
-            return None
-        # Probing with a real complex op is NOT safe — on the axon tunnel
-        # the probe itself would poison the process.  Detect the tunnel by
-        # its platform registration instead.
-        platforms = str(os.environ.get("JAX_PLATFORMS", "")) + str(
-            jax.config.jax_platforms or ""
-        )
-        if "axon" in platforms:
-            return jax.devices("cpu")[0]
-        return None
-    except RuntimeError:
-        return None
-
-
 def mvdr_init(n_bins: int, channels: int) -> MvdrState:
-    dev = _complex_safe_device()
-    with jax.default_device(dev) if dev is not None else contextlib.nullcontext():
-        eye = jnp.eye(channels, dtype=jnp.complex64)
-        return MvdrState(
-            cov=jnp.broadcast_to(eye, (n_bins, channels, channels)).astype(
-                jnp.complex64
-            ),
-            count=jnp.zeros((), jnp.int32),
-        )
+    eye = jnp.eye(channels, dtype=jnp.float32)
+    return MvdrState(
+        cov_re=jnp.broadcast_to(eye, (n_bins, channels, channels)).astype(
+            jnp.float32
+        ),
+        cov_im=jnp.zeros((n_bins, channels, channels), jnp.float32),
+        count=jnp.zeros((), jnp.int32),
+    )
 
 
 def select_bins(
@@ -90,6 +69,22 @@ def select_bins(
     return idx[(idx > 0) & (idx < frame_size // 2)]
 
 
+def dft_tables(frame_size: int, bins, window=None) -> np.ndarray:
+    """Windowed-DFT analysis tables, stacked [2, frame, F] (cos, sin).
+
+    ``X_k = sum_n w_n x_n e^{-2 pi i k n / N}`` becomes
+    ``re = x @ tab[0]``, ``im = -(x @ tab[1])`` — two skinny matmuls
+    instead of an rfft + bin gather (complex-free, MXU-friendly).
+    """
+    if window is None:
+        window = np.hanning(frame_size)
+    n = np.arange(frame_size, dtype=np.float64)[:, None]
+    k = np.asarray(bins, np.float64)[None, :]
+    ang = 2.0 * np.pi * k * n / frame_size
+    w = np.asarray(window, np.float64)[:, None]
+    return np.stack([np.cos(ang) * w, np.sin(ang) * w]).astype(np.float32)
+
+
 def steering_matrix(
     points,
     theta,
@@ -97,7 +92,8 @@ def steering_matrix(
     freqs_hz,
     array_cfg: ArrayConfig = ArrayConfig(),
 ) -> np.ndarray:
-    """v[F, D, C] = exp(+2 pi i f tau / fs) from the DAS delay model.
+    """Re/im planes, stacked [2, F, D, C], of
+    ``v = exp(+2 pi i f tau / fs)`` from the DAS delay model.
 
     Sign convention: the DAS kernel reads channel c at ``t - tau_c`` (larger
     min-subtracted delay = further into the past), i.e. a plane wave from
@@ -111,13 +107,96 @@ def steering_matrix(
         array_cfg.samples_per_meter,
     )  # [D, C] in samples
     phase = (
-        +2.0j
+        2.0
         * np.pi
         * np.asarray(freqs_hz)[:, None, None]
         * delays[None, :, :]
         / array_cfg.sample_rate
     )
-    return np.exp(phase).astype(np.complex64)
+    return np.stack([np.cos(phase), np.sin(phase)]).astype(np.float32)
+
+
+def hermitian_embed(re, im):
+    """[..., C, C] (re, im) planes of a Hermitian matrix -> the real
+    symmetric 2x2 block embedding ``[[re, -im], [im, re]]`` [..., 2C, 2C].
+
+    HPD complex matrices map to SPD real ones; matvecs/solves commute with
+    the embedding of vectors ``z -> [z_re | z_im]``.
+    """
+    top = jnp.concatenate([re, -im], axis=-1)
+    bot = jnp.concatenate([im, re], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _stft_snapshots(block, dft_t, frame_size, hop, mask):
+    """block [C, T] -> (re, im) snapshot planes [F, C, M]."""
+    t = block.shape[-1]
+    n_frames = (t - frame_size) // hop + 1
+    starts = jnp.arange(n_frames) * hop
+    frames = jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(block, s, frame_size, axis=1)
+    )(starts)                                    # [M, C, frame]
+    if mask is not None:
+        frames = frames * mask[None, :, None]
+    re = jnp.einsum("mcn,nf->fcm", frames, dft_t[0])
+    im = -jnp.einsum("mcn,nf->fcm", frames, dft_t[1])
+    return re, im, n_frames
+
+
+def _make_mvdr_impl(frame_size, hop, mask, ema_alpha, diagonal_loading,
+                    axis_name=None):
+    """Core per-block update over a (possibly sharded) bin subset.
+
+    ``v_local`` [2, F_loc, D, C] steering planes, ``dft_local``
+    [2, frame, F_loc] analysis tables, ``binw_local`` [F_loc] per-bin
+    weights (0 for padding bins).  With ``axis_name`` the bins are a mesh
+    shard: each shard STFTs the (tiny, replicated) block, solves only its
+    own bins' Cholesky systems, and the Capon powers psum across shards —
+    bins are embarrassingly parallel, so this scales the heaviest MVDR cost
+    (F Cholesky factorizations) linearly.
+    """
+
+    def impl(state: MvdrState, block, v_local, dft_local, binw_local):
+        c = block.shape[0]
+        xr, xi, n_frames = _stft_snapshots(block, dft_local, frame_size, hop, mask)
+        # Per-bin sample covariance planes of this block: R = X X^H / M.
+        r_re = (
+            jnp.einsum("fcm,fdm->fcd", xr, xr)
+            + jnp.einsum("fcm,fdm->fcd", xi, xi)
+        ) / n_frames
+        r_im = (
+            jnp.einsum("fcm,fdm->fcd", xi, xr)
+            - jnp.einsum("fcm,fdm->fcd", xr, xi)
+        ) / n_frames
+        warm = state.count > 0
+        alpha = jnp.where(warm, ema_alpha, 1.0).astype(jnp.float32)
+        cov_re = (1.0 - alpha) * state.cov_re + alpha * r_re
+        cov_im = (1.0 - alpha) * state.cov_im + alpha * r_im
+
+        # Diagonal loading scaled to the average channel power per bin.
+        tr = jnp.trace(cov_re, axis1=-2, axis2=-1)[:, None]      # [F, 1]
+        load = (diagonal_loading * tr / c + 1e-12).astype(jnp.float32)
+        eye = jnp.eye(c, dtype=cov_re.dtype)
+        r_loaded = cov_re + load[..., None] * eye
+
+        # Capon spectrum via the real block embedding: P = 1 / (v^H R^-1 v)
+        # = 1 / || L^-1 v_emb ||^2 with M = L L^T.
+        m = hermitian_embed(r_loaded, cov_im)                    # [F, 2C, 2C]
+        chol = jax.lax.linalg.cholesky(m)
+        v_emb = jnp.concatenate([v_local[0], v_local[1]], axis=-1)  # [F, D, 2C]
+        y = jax.lax.linalg.triangular_solve(
+            chol, jnp.transpose(v_emb, (0, 2, 1)), left_side=True, lower=True
+        )                                                        # [F, 2C, D]
+        denom = jnp.sum(y * y, axis=1)                           # [F, D]
+        per_bin = binw_local[:, None] / jnp.maximum(denom, 1e-20)
+        powers = jnp.sum(per_bin, axis=0)                        # [D]
+        if axis_name is not None:
+            powers = jax.lax.psum(powers, axis_name)
+        new_state = MvdrState(cov_re=cov_re, cov_im=cov_im,
+                              count=state.count + 1)
+        return new_state, powers
+
+    return impl
 
 
 def make_mvdr_step(
@@ -136,91 +215,31 @@ def make_mvdr_step(
     """Build the jitted per-block MVDR update.
 
     Returns ``(step, n_bins)`` with ``step(state, block[C, T]) ->
-    (state, powers[D])``.
+    (state, powers[D])``.  Runs on the default device — TPU included
+    (complex-free throughout).
     """
     bins = select_bins(frame_size, array_cfg.sample_rate, f_low, f_high)
     freqs = np.fft.rfftfreq(frame_size, 1.0 / array_cfg.sample_rate)[bins]
-    dev = _complex_safe_device()
-    with jax.default_device(dev) if dev is not None else contextlib.nullcontext():
-        v = jnp.asarray(steering_matrix(points, theta, phi, freqs, array_cfg))
-        window_fn = jnp.asarray(np.hanning(frame_size).astype(np.float32))
-        mask = (
-            None if channel_mask is None else jnp.asarray(channel_mask, jnp.float32)
-        )
+    v = jnp.asarray(steering_matrix(points, theta, phi, freqs, array_cfg))
+    dft_t = jnp.asarray(dft_tables(frame_size, bins))
+    mask = (
+        None if channel_mask is None else jnp.asarray(channel_mask, jnp.float32)
+    )
 
     impl = _make_mvdr_impl(
-        frame_size, hop, window_fn, mask, ema_alpha, diagonal_loading
+        frame_size, hop, mask, ema_alpha, diagonal_loading
     )
-    bins_j = jnp.asarray(bins)
     binw = jnp.ones((len(bins),), jnp.float32)
 
-    jitted = jax.jit(lambda state, block, vv, bb, ww: impl(state, block, vv, bb, ww))
+    # Model operands stay explicit jit arguments: a closed-over device
+    # array would be embedded into the compiled program as a literal
+    # constant (remote-compile request size).
+    jitted = jax.jit(impl)
 
     def step(state: MvdrState, block):
-        if dev is None:
-            return jitted(state, block, v, bins_j, binw)
-        with jax.default_device(dev):
-            # The block may live on the (complex-incapable) accelerator;
-            # route it through the host.
-            block = jax.device_put(np.asarray(block), dev)
-            return jitted(state, block, v, bins_j, binw)
+        return jitted(state, jnp.asarray(block, jnp.float32), v, dft_t, binw)
 
     return step, len(bins)
-
-
-def _make_mvdr_impl(frame_size, hop, window_fn, mask, ema_alpha,
-                    diagonal_loading, axis_name=None):
-    """Core per-block update over a (possibly sharded) bin subset.
-
-    ``v_local`` [F_loc, D, C], ``bins_local`` [F_loc] rfft indices,
-    ``binw_local`` [F_loc] per-bin weights (0 for padding bins).  With
-    ``axis_name`` the bins are a mesh shard: each shard STFTs the (tiny,
-    replicated) block, solves only its own bins' Cholesky systems, and the
-    Capon powers psum across shards — bins are embarrassingly parallel, so
-    this scales the heaviest MVDR cost (F Cholesky factorizations) linearly.
-    """
-
-    def impl(state: MvdrState, block, v_local, bins_local, binw_local):
-        c, t = block.shape
-        n_frames = (t - frame_size) // hop + 1
-        starts = jnp.arange(n_frames) * hop
-        frames = jax.vmap(
-            lambda s: jax.lax.dynamic_slice_in_dim(block, s, frame_size, axis=1)
-        )(starts)                                   # [M, C, frame]
-        if mask is not None:
-            frames = frames * mask[None, :, None]
-        spec = jnp.fft.rfft(frames * window_fn[None, None, :], axis=-1)
-        snaps = spec[:, :, bins_local]              # [M, C, F_loc]
-        snaps = jnp.transpose(snaps, (2, 1, 0))     # [F_loc, C, M]
-        # Per-bin sample covariance of this block.
-        r_new = jnp.einsum(
-            "fcm,fdm->fcd", snaps, jnp.conj(snaps)
-        ) / n_frames                                 # [F_loc, C, C]
-        warm = state.count > 0
-        alpha = jnp.where(warm, ema_alpha, 1.0).astype(jnp.float32)
-        cov = (1.0 - alpha) * state.cov + alpha * r_new
-
-        # Diagonal loading scaled to the average channel power per bin.
-        tr = jnp.real(jnp.trace(cov, axis1=-2, axis2=-1))[:, None]  # [F, 1]
-        load = (diagonal_loading * tr / c + 1e-12).astype(jnp.float32)
-        eye = jnp.eye(c, dtype=cov.dtype)
-        r_loaded = cov + load[..., None] * eye
-
-        # Capon spectrum: P = 1 / (v^H R^-1 v), batched Cholesky solve.
-        chol = jax.lax.linalg.cholesky(r_loaded)            # [F, C, C]
-        vt = jnp.transpose(v_local, (0, 2, 1))              # [F, C, D]
-        y = jax.lax.linalg.triangular_solve(
-            chol, vt, left_side=True, lower=True
-        )                                                   # L y = v
-        denom = jnp.sum(jnp.real(y * jnp.conj(y)), axis=1)  # [F, D]
-        per_bin = binw_local[:, None] / jnp.maximum(denom, 1e-20)
-        powers = jnp.sum(per_bin, axis=0)                   # [D]
-        if axis_name is not None:
-            powers = jax.lax.psum(powers, axis_name)
-        new_state = MvdrState(cov=cov, count=state.count + 1)
-        return new_state, powers
-
-    return impl
 
 
 def make_sharded_mvdr_step(
@@ -255,42 +274,49 @@ def make_sharded_mvdr_step(
     )
     freqs = np.fft.rfftfreq(frame_size, 1.0 / array_cfg.sample_rate)[bins_p]
     v = steering_matrix(points, theta, phi, freqs, array_cfg)
-    window_fn = jnp.asarray(np.hanning(frame_size).astype(np.float32))
+    dft_np = dft_tables(frame_size, bins_p)
     mask = None if channel_mask is None else jnp.asarray(channel_mask, jnp.float32)
 
     impl = _make_mvdr_impl(
-        frame_size, hop, window_fn, mask, ema_alpha, diagonal_loading,
+        frame_size, hop, mask, ema_alpha, diagonal_loading,
         axis_name=axis_name,
     )
     f_pad = len(bins_p)
     c = np.asarray(points).shape[1]
 
-    state_spec = MvdrState(cov=P(axis_name, None, None), count=P())
+    state_spec = MvdrState(
+        cov_re=P(axis_name, None, None),
+        cov_im=P(axis_name, None, None),
+        count=P(),
+    )
     sharded = jax.shard_map(
         impl,
         mesh=mesh,
-        in_specs=(state_spec, P(None, None), P(axis_name, None, None),
-                  P(axis_name), P(axis_name)),
+        in_specs=(state_spec, P(None, None), P(None, axis_name, None, None),
+                  P(None, None, axis_name), P(axis_name)),
         out_specs=(state_spec, P()),
     )
-    shard = NamedSharding(mesh, P(axis_name))
     v_dev = jax.device_put(
-        jnp.asarray(v), NamedSharding(mesh, P(axis_name, None, None))
+        jnp.asarray(v), NamedSharding(mesh, P(None, axis_name, None, None))
     )
-    bins_dev = jax.device_put(jnp.asarray(bins_p), shard)
-    binw_dev = jax.device_put(jnp.asarray(binw_p), shard)
+    dft_dev = jax.device_put(
+        jnp.asarray(dft_np), NamedSharding(mesh, P(None, None, axis_name))
+    )
+    binw_dev = jax.device_put(
+        jnp.asarray(binw_p), NamedSharding(mesh, P(axis_name))
+    )
     jitted = jax.jit(sharded)
 
     def step(state, block):
-        return jitted(state, block, v_dev, bins_dev, binw_dev)
+        return jitted(state, block, v_dev, dft_dev, binw_dev)
 
+    cov_shard = NamedSharding(mesh, P(axis_name, None, None))
     state = MvdrState(
-        cov=jax.device_put(
-            jnp.broadcast_to(
-                jnp.eye(c, dtype=jnp.complex64), (f_pad, c, c)
-            ).astype(jnp.complex64),
-            NamedSharding(mesh, P(axis_name, None, None)),
+        cov_re=jax.device_put(
+            jnp.broadcast_to(jnp.eye(c, dtype=jnp.float32), (f_pad, c, c)),
+            cov_shard,
         ),
+        cov_im=jax.device_put(jnp.zeros((f_pad, c, c), jnp.float32), cov_shard),
         count=jnp.zeros((), jnp.int32),
     )
     return step, state

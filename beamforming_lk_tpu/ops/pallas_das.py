@@ -5,31 +5,25 @@ The dense path (ops/delay.py) materializes the one-hot stencil
 north-star config (D=4225, C=256, S=64) that is ~280 MB of HBM traffic per
 5.24 ms block.  This kernel rebuilds the stencil ON THE FLY in VMEM from
 the compact delay split (``shift[D, C]`` int32 + ``tap_weights[D, C, taps]``,
-~6 MB total), so HBM reads drop to the window + the split and the op is
-MXU-bound.
+~6 MB total), so the dominant HBM stream drops to the unfolded window
+(``C*S x T``, 16 MB f32 / 8 MB bf16, re-read once per direction tile).
 
-Mosaic (real-TPU) lowering constraints shaped the design — interpret mode
-checks none of these (each was found by bisection on hardware):
+Design notes (v3 — deliberately boring, after two Mosaic compile hangs on
+rolls / span-chunked scratch variants):
 
-- VMEM blocks: last two dims (8k, 128k) or the full array dim -> the delay
-  split is fed TRANSPOSED as [C, D].
-- No 3D-middle-axis concat/broadcast; no lane-offset slicing -> 2D ops
-  only, shifted rows produced with ``pltpu.roll`` at lane offset 0.
-- ``pltpu.roll`` needs a 128-multiple lane width -> window lane-padded.
-- Unrolled scratch stores each get their own stack slot (span x row-block
-  bytes can blow the 16 MB VMEM stack); dynamic roll amounts hang the
-  compiler -> the span is CHUNKED into a third grid dimension: the chunk
-  index picks a pre-shifted window block (built host/XLA-side), so the
-  in-kernel rolls are by STATIC amounts and only ``chunk_s`` row-blocks
-  are ever live.
-
-Grid ``(D/tile_d, C/tile_c, S/chunk_s)``, last dim innermost; the output
-tile accumulates across the two inner dims:
-
-    rows k of chunk q:  K = tile_c * chunk_s, s = q*chunk_s + u
-    W2D[u*C + c, d] = sum_j tapw[c, d, j] * [shift[c, d] + j == s]
-    X  [u*C + c, t] = window[c, t + s]
-    beam[d, t]     += W2D^T @ X       (MXU, K = tile_c * chunk_s)
+- The sliding-window unfold ``X2D[c*S + s, t] = window[c, t + s]`` is done
+  OUTSIDE the kernel by XLA (cheap static slices); the kernel never
+  shifts or rolls anything.
+- Grid ``(D/tile_d, C/tile_c)`` with the channel tile innermost; the
+  output tile stays resident and accumulates across channel tiles (the
+  standard matmul k-inner pattern).
+- In-kernel work is 2D only: expand ``shift``/``tap`` rows across the span
+  (``pltpu.repeat`` sublane-axis repeat, or a one-hot iota matmul with
+  ``expand="matmul"``), two iota compares per tap, one MXU contraction of
+  size ``tile_c * S``.
+- All VMEM blocks keep the last two dims (8k, 128k)-tileable or full-dim;
+  the tap axis is the LEADING (full) dim of a 3D block, indexed with a
+  plain static int.
 
 Equivalent math to the reference's ``delay()`` accumulate
 (``src/dsp/delay.cpp:16-26``); consumes the same ``delay_lut`` split as
@@ -49,49 +43,78 @@ from jax.experimental.pallas import tpu as pltpu
 from beamforming_lk_tpu.ops import delay as dl
 
 
-def _das_kernel(shift_ref, tapw_ref, winc_ref, out_ref, w_scr, x_scr, *,
-                chunk_s, taps, block_t, pad_width, compute_dtype):
-    c_idx = pl.program_id(1)
-    q_idx = pl.program_id(2)
+def _das_kernel(shift_ref, tapw_ref, x_ref, out_ref, *, span, taps,
+                compute_dtype, expand):
+    j = pl.program_id(1)
 
-    shift = shift_ref[...]                      # [TILE_C, TILE_D] int32
-    tapw = tapw_ref[...]                        # [TILE_C, TILE_D, taps]
+    shift = shift_ref[...]                      # [tile_c, tile_d] int32
     tile_c, tile_d = shift.shape
-    win = winc_ref[0].astype(compute_dtype)     # [TILE_C, pad_width]
-    s_base = q_idx * chunk_s
+    rows = tile_c * span
+    # Row order r = s*tile_c + c (span-major): exactly what stacking span
+    # copies of the [tile_c, tile_d] tile produces, and what the [S, tile_c,
+    # T] -> [S*tile_c, T] leading-dims reshape of the window block produces.
 
-    tapw_c = [tapw[:, :, j].astype(compute_dtype) for j in range(taps)]
-    for u in range(chunk_s):
-        s = s_base + u                          # dynamic scalar (compare only)
-        w_s = jnp.zeros((tile_c, tile_d), compute_dtype)
-        for j in range(taps):
-            w_s = w_s + tapw_c[j] * (shift + j == s).astype(compute_dtype)
-        w_scr[u * tile_c : (u + 1) * tile_c, :] = w_s
-        # The chunk's window block is pre-shifted by s_base, so the roll
-        # amount u is STATIC (dynamic rolls hang the Mosaic compiler).
-        x_scr[u * tile_c : (u + 1) * tile_c, :] = pltpu.roll(
-            win, (pad_width - u) % pad_width, 1
-        )[:, :block_t]
+    if expand == "repeat":
+        # pltpu.repeat concatenates copies along the axis: row r holds
+        # shift[r % tile_c].
+        shift_rep = pltpu.repeat(shift, span, axis=0)        # [rows, tile_d]
+        taps_rep = [
+            pltpu.repeat(tapw_ref[t], span, axis=0).astype(compute_dtype)
+            for t in range(taps)
+        ]
+    else:
+        # One-hot expansion matrix E[r, c] = [r % tile_c == c], built from
+        # 2D iotas, applied on the MXU.  Exact for the small-int operands.
+        r_c = jax.lax.broadcasted_iota(jnp.int32, (rows, tile_c), 0) % tile_c
+        c_c = jax.lax.broadcasted_iota(jnp.int32, (rows, tile_c), 1)
+        e = (r_c == c_c).astype(compute_dtype)
+        shift_rep = jax.lax.dot_general(
+            e, shift.astype(compute_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        taps_rep = [
+            jax.lax.dot_general(
+                e, tapw_ref[t].astype(compute_dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(compute_dtype)
+            for t in range(taps)
+        ]
 
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (rows, tile_d), 0) // tile_c
+    w = jnp.zeros((rows, tile_d), compute_dtype)
+    for t in range(taps):
+        w = w + taps_rep[t] * (shift_rep + t == s_iota).astype(compute_dtype)
+
+    x = x_ref[...].reshape(rows, x_ref.shape[-1])   # [S, tile_c, T] -> 2D
+    # f32 compute asks for full f32 MXU passes (parity with the dense
+    # HIGHEST-precision path); bf16 compute runs at full MXU rate.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     acc = jax.lax.dot_general(
-        w_scr[...], x_scr[...],
+        w, x.astype(compute_dtype),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
 
-    @pl.when((c_idx == 0) & (q_idx == 0))
+    @pl.when(j == 0)
     def _():
         out_ref[...] = acc
 
-    @pl.when((c_idx != 0) | (q_idx != 0))
+    @pl.when(j != 0)
     def _():
         out_ref[...] = out_ref[...] + acc
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("span", "block_t", "tile_d", "tile_c", "chunk_s",
-                     "compute_dtype", "interpret"),
+    static_argnames=("span", "block_t", "tile_d", "tile_c",
+                     "compute_dtype", "expand", "interpret"),
 )
 def das_beam_pallas(
     window,
@@ -100,86 +123,79 @@ def das_beam_pallas(
     *,
     span: int,
     block_t: int,
-    tile_d: int = 128,
+    tile_d: int = 256,
     tile_c: int = 8,
-    chunk_s: int = 16,
     compute_dtype=jnp.float32,
+    expand: str = "repeat",
     interpret: bool = False,
 ):
     """beam[D, T] from window [C, T+S], shift [D, C] int32, tap_weights
     [D, C, taps].
 
-    D must divide by ``tile_d``, C by ``tile_c``, and S by ``chunk_s``
-    (pad the direction grid with :func:`pad_directions` if needed).
-    ``compute_dtype=jnp.bfloat16`` runs the matmul at full MXU rate with
-    float32 accumulation.  ``tile_c * chunk_s`` is the matmul contraction
-    size — keep it >= 128.
+    D must divide by ``tile_d`` and C by ``tile_c`` (pad the direction grid
+    with :func:`pad_directions` if needed).  ``compute_dtype=jnp.bfloat16``
+    runs the matmul at full MXU rate with float32 accumulation and halves
+    the unfolded-window HBM stream.  The contraction size is
+    ``tile_c * span`` — keep it >= 128.  ``expand`` picks how the per-span
+    stencil rows are built in VMEM: ``"repeat"`` (sublane repeat) or
+    ``"matmul"`` (one-hot iota matmul).
     """
     d, c = shift.shape
     taps = tap_weights.shape[-1]
-    if d % tile_d or c % tile_c or span % chunk_s:
-        raise ValueError(
-            f"D={d} C={c} S={span} must tile by ({tile_d}, {tile_c}, {chunk_s})"
-        )
+    if d % tile_d or c % tile_c:
+        raise ValueError(f"D={d} C={c} must tile by ({tile_d}, {tile_c})")
     if window.shape != (c, block_t + span):
         raise ValueError(f"window {window.shape} != ({c}, {block_t + span})")
-    n_chunks = span // chunk_s
-    # Pre-shifted window copies, one per span chunk, lane-padded to a
-    # 128 multiple (rolling a non-128-multiple width is unsupported).
-    need = block_t + chunk_s
-    pad_width = -(-need // 128) * 128
-    win_chunks = jnp.stack(
-        [
-            jnp.pad(
-                jax.lax.slice_in_dim(window, q * chunk_s, q * chunk_s + need, axis=1),
-                ((0, 0), (0, pad_width - need)),
-            )
-            for q in range(n_chunks)
-        ]
-    )                                           # [n_chunks, C, pad_width]
+    if expand not in ("repeat", "matmul"):
+        raise ValueError(f"unknown expand mode: {expand}")
+
+    # Unfolded window X[s, c, t] = window[c, t + s], built by XLA from
+    # S static slices (fused, never gathers).  Kept 3D so each channel
+    # tile's rows are one contiguous VMEM block; the kernel collapses the
+    # two leading dims.
+    x3d = dl.unfold_window(window, span, block_t)            # [C, S, T]
+    x3d = jnp.transpose(x3d, (1, 0, 2)).astype(compute_dtype)  # [S, C, T]
+
+    # [taps, C, D] so the VMEM block's last two dims are (8k, 128k)-tileable
+    # and the tap axis is a full leading dim.
+    shift_t = jnp.transpose(shift, (1, 0))                   # [C, D]
+    tapw_t = jnp.transpose(tap_weights, (2, 1, 0))           # [taps, C, D]
 
     kernel = functools.partial(
-        _das_kernel, chunk_s=chunk_s, taps=taps, block_t=block_t,
-        pad_width=pad_width, compute_dtype=compute_dtype,
+        _das_kernel, span=span, taps=taps,
+        compute_dtype=compute_dtype, expand=expand,
     )
-    # Transposed [C, D] layout => (8k, 128k)-tileable VMEM blocks.
-    shift_t = jnp.transpose(shift, (1, 0))
-    tapw_t = jnp.transpose(tap_weights, (1, 0, 2))
     flops = 2 * d * c * span * block_t
     return pl.pallas_call(
         kernel,
-        grid=(d // tile_d, c // tile_c, n_chunks),
+        grid=(d // tile_d, c // tile_c),
         in_specs=[
             pl.BlockSpec(
-                (tile_c, tile_d), lambda i, j, q: (j, i),
+                (tile_c, tile_d), lambda i, j: (j, i),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (tile_c, tile_d, taps), lambda i, j, q: (j, i, 0),
+                (taps, tile_c, tile_d), lambda i, j: (0, j, i),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, tile_c, pad_width), lambda i, j, q: (q, j, 0),
+                (span, tile_c, block_t), lambda i, j: (0, j, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (tile_d, block_t), lambda i, j, q: (i, 0), memory_space=pltpu.VMEM
+            (tile_d, block_t), lambda i, j: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((d, block_t), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((tile_c * chunk_s, tile_d), compute_dtype),
-            pltpu.VMEM((tile_c * chunk_s, block_t), compute_dtype),
-        ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(d * c * (4 + 4 * taps))
-            + win_chunks.size * 4
+            + (d // tile_d) * x3d.size * x3d.dtype.itemsize
             + d * block_t * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(shift_t, tapw_t, win_chunks)
+    )(shift_t, tapw_t, x3d)
 
 
 def delay_split_np(delays, span: int, mode: str = "linear", fir_bank=None):

@@ -61,8 +61,10 @@ N_MICS = 256
 GRID = 65
 BLOCK = 256
 SHIFT_RANGE = 64
-TILE_D = 128
-TILE_C = 8
+# Pallas kernel tiles: tile_d=512, tile_c=32 measured fastest on v5e (the
+# X3D window re-read scales with D/tile_d; contraction = tile_c * S = 2048).
+TILE_D = 512
+TILE_C = 32
 
 
 def build_geometry():
@@ -73,7 +75,7 @@ def build_geometry():
     theta, phi = mm.make_mimo_grid(mimo)
     delays = ant.steering_delays_np(points, theta, phi, arr.samples_per_meter)
     assert delays.max() <= SHIFT_RANGE - 2, delays.max()
-    return points, delays, dsp, arr
+    return points, delays, dsp, arr, theta, phi
 
 
 def timed_rate(step_scan, history, blocks, params, n_small=8, n_large=72):
@@ -154,7 +156,7 @@ def _deadline(signum, frame):
 def main():
     signal.signal(signal.SIGALRM, _deadline)
     signal.alarm(int(os.environ.get("BENCH_DEADLINE_S", "2400")))
-    points, delays_np, dsp, arr = build_geometry()
+    points, delays_np, dsp, arr, theta, phi = build_geometry()
     c = points.shape[1]
     d = delays_np.shape[0]
 
@@ -218,17 +220,17 @@ def main():
         "dense_bf16": (dense_bf16, (weights_bf16,)),
         "fft_f32": (lambda w: fd.fft_heatmap_powers(w, fft_f32), ()),
         "fft_bf16": (lambda w: fd.fft_heatmap_powers(w, fft_bf16), ()),
+        # Pallas on-the-fly-stencil kernel (v3: precomputed unfold + in-VMEM
+        # stencil build, ops/pallas_das.py).  Compiles clean on this Mosaic
+        # toolchain (the roll/scratch-based v1/v2 designs hung it); bf16
+        # runs the one-hot contraction at ~MXU roofline.  BENCH_NO_PALLAS=1
+        # to skip.
+        "pallas_f32": (pallas_f32, (shift, tapw)),
+        "pallas_bf16": (pallas_bf16, (shift, tapw)),
     }
-    # The Pallas kernel variants (pallas_f32 / pallas_bf16 above) are
-    # EXCLUDED: this toolchain's Mosaic compiler hangs indefinitely on the
-    # kernel (wedging the shared remote-compile helper for ~1 h), both with
-    # dynamic roll amounts and with the static-roll chunked-grid v2.  The
-    # kernel stays interpret-mode verified (tests/test_pallas_das.py);
-    # dense_bf16 already runs at ~2/3 of the chip's bf16 peak, so the
-    # headline is unaffected.  Set BENCH_PALLAS=1 to try anyway.
-    if os.environ.get("BENCH_PALLAS"):
-        variants["pallas_f32"] = (pallas_f32, (shift, tapw))
-        variants["pallas_bf16"] = (pallas_bf16, (shift, tapw))
+    if os.environ.get("BENCH_NO_PALLAS"):
+        variants.pop("pallas_f32")
+        variants.pop("pallas_bf16")
     results = _RESULTS
     ref_powers = None
     # The remote-device tunnel can fail transiently (observed: every op
@@ -270,6 +272,46 @@ def main():
         pending = failed
         if not pending:
             break
+
+    # Plane-wave parity: noise blocks cannot validate the fft variants
+    # (different fractional-delay interpolation reweights broadband noise),
+    # so beamform a KNOWN synthetic source and assert every variant peaks
+    # at it.  This is the check that would catch a real kernel regression.
+    try:
+        from beamforming_lk_tpu.io.synthetic import plane_wave_block
+
+        src = (0.5, 1.2, 4000.0)
+        pw = np.stack([
+            plane_wave_block(points, [src], i * BLOCK, BLOCK, arr,
+                             noise_std=0.0)
+            for i in range(8)
+        ])
+        pw_blocks = jax.device_put(jnp.asarray(pw, jnp.float32))
+        cos_src = None
+        for name in list(results):
+            fn, params = variants[name]
+            scan_n = make_scan(fn, dl.LINEAR_TAPS)
+            _, p = scan_n(history, pw_blocks, 8, *params)
+            p = np.asarray(p, np.float64)
+            k = int(np.argmax(p))
+            cos_ang = (
+                np.cos(theta[k]) * np.cos(src[0])
+                + np.sin(theta[k]) * np.sin(src[0]) * np.cos(phi[k] - src[1])
+            )
+            err_deg = float(np.degrees(np.arccos(np.clip(cos_ang, -1, 1))))
+            peak_med = float(p[k] / max(np.median(p), 1e-30))
+            ok = err_deg < 4.0 and peak_med > 10.0
+            cos_src = ok if cos_src is None else (cos_src and ok)
+            print(
+                f"# planewave {name}: peak_err={err_deg:.2f}deg "
+                f"peak/median={peak_med:.0f} {'OK' if ok else 'MISMATCH'}",
+                file=sys.stderr,
+            )
+        if cos_src is False:
+            print("# planewave parity: MISMATCH in at least one variant",
+                  file=sys.stderr)
+    except Exception as e:
+        print(f"# planewave parity check failed to run: {e}", file=sys.stderr)
 
     signal.alarm(0)
     if results:

@@ -27,6 +27,38 @@ def _run(sources, n_blocks=6, grid=16, **kw):
     return np.asarray(powers), theta, phi, state
 
 
+def test_real_embedding_matches_complex_capon():
+    """v^H R^-1 v computed via the 2x2 real block embedding == the complex
+    value (CPU reference; the TPU path never touches complex dtypes)."""
+    from beamforming_lk_tpu.models.mvdr import hermitian_embed
+
+    rng = np.random.default_rng(7)
+    c, d = 12, 9
+    a = rng.standard_normal((c, c)) + 1j * rng.standard_normal((c, c))
+    r = a @ a.conj().T + 0.5 * np.eye(c)          # HPD
+    v = rng.standard_normal((d, c)) + 1j * rng.standard_normal((d, c))
+    want = np.einsum("dc,cd->d", v.conj(), np.linalg.solve(r, v.T)).real
+
+    m = np.asarray(hermitian_embed(jnp.asarray(r.real), jnp.asarray(r.imag)))
+    v_emb = np.concatenate([v.real, v.imag], axis=-1)  # [D, 2C]
+    got = np.einsum("dc,cd->d", v_emb, np.linalg.solve(m, v_emb.T))
+    np.testing.assert_allclose(got, want, rtol=1e-5)  # f32 embed rounding
+
+
+def test_dft_tables_match_rfft():
+    from beamforming_lk_tpu.models.mvdr import dft_tables
+
+    rng = np.random.default_rng(3)
+    frame = 64
+    bins = select_bins(frame, 48828.0)
+    x = rng.standard_normal((5, frame)).astype(np.float32)
+    w = np.hanning(frame)
+    want = np.fft.rfft(x * w, axis=-1)[:, bins]
+    tab = dft_tables(frame, bins)
+    got = (x @ tab[0]) - 1j * (x @ tab[1])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_bin_selection():
     bins = select_bins(64, 48828.0, 550.0, 9000.0)
     freqs = np.fft.rfftfreq(64, 1 / 48828.0)

@@ -49,6 +49,22 @@ def test_pallas_matches_dense_linear():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_pallas_matmul_expand_matches_dense():
+    window, delays = _window_and_delays("linear")
+    dense_w = dl.das_weights_np(delays, DCFG.shift_range, "linear")
+    want = np.asarray(dl.das_beam(jnp.asarray(window), jnp.asarray(dense_w)))
+
+    shift, tapw = delay_split_np(delays, DCFG.shift_range, "linear")
+    (shift_p, tapw_p), _ = pad_directions([shift, tapw], shift.shape[0], 128)
+    beam = das_beam_pallas(
+        jnp.asarray(window), jnp.asarray(shift_p), jnp.asarray(tapw_p),
+        span=DCFG.shift_range, block_t=DCFG.block_size,
+        tile_d=128, tile_c=8, expand="matmul", interpret=True,
+    )
+    got = np.asarray(beam)[: shift.shape[0]]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_pallas_matches_dense_fir():
     window, delays = _window_and_delays("fir")
     bank = dl.fractional_delay_fir_bank()
