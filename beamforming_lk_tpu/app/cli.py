@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mirror the heatmap horizontally")
     p.add_argument("--aesthetic", action="store_true",
                    help="circular FOV mask on rendered frames")
+    p.add_argument("--debug", action="store_true",
+                   help="on-frame debug text (tracker count; the reference's "
+                        "--debug cv::putText overlay)")
     # Source selection (replaces the synthetic ctor + udpreplay workflow)
     p.add_argument(
         "--source", choices=["synthetic", "pcap", "udp", "native"],
@@ -57,6 +60,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", default=None, help="PNG frame directory")
     p.add_argument("--render-every", type=int, default=8)
     p.add_argument("--miso-wav", default=None, help="record MISO beam to WAV")
+    p.add_argument("--miso-mp3", default=None,
+                   help="record MISO beam to MP3 (lame/ffmpeg; degrades to "
+                        "WAV-only when no encoder exists — the reference "
+                        "records output.wav AND output.mp3)")
+    p.add_argument("--play", choices=["raw", "miso"], default=None,
+                   help="live audio playback: the mic-0 feed or the steered "
+                        "MISO beam (the reference's --audio PortAudio "
+                        "callbacks; degrades gracefully without a player)")
     p.add_argument("--steer", nargs=2, type=float, default=None,
                    metavar=("THETA_DEG", "PHI_DEG"), help="pin MISO direction")
     p.add_argument("--colormap", choices=["jet", "ocean"], default="jet")
@@ -198,6 +209,7 @@ def main(argv=None) -> int:
         circle_mask=args.aesthetic,
         channels=args.channels,
         camera=camera.read if camera is not None else None,
+        debug=args.debug,
     )
     if args.load_state:
         for i, pipe in enumerate(unit.pipelines):
@@ -268,6 +280,8 @@ def main(argv=None) -> int:
             output_dir=args.output_dir,
             on_frame=on_frame if (publisher or gpsd) else None,
             miso_wav=args.miso_wav,
+            miso_mp3=args.miso_mp3,
+            play=args.play,
             record_avi=args.record,
             display=args.display,
             verbose=args.verbose,

@@ -53,10 +53,13 @@ class ControlUnit:
         circle_mask: bool = False,
         channels: Optional[int] = None,
         camera: Optional[Callable[[], Optional[np.ndarray]]] = None,
+        debug: bool = False,
     ):
         self.cfg = cfg
         self.flip = flip
         self.circle_mask = circle_mask
+        # On-frame debug text (tracker count), aw_control_unit.cpp:336-350.
+        self.debug = debug
         # Camera underlay: a callable returning the current RGB camera
         # frame (or None) — the heatmap is alpha-blended over it
         # (the reference's --camera compositing, aw_control_unit.cpp).
@@ -180,9 +183,39 @@ class ControlUnit:
                     now_block=float(np.asarray(pipe.state.block_index)),
                     block_seconds=self.cfg.dsp.block_seconds,
                 )
+            if self.debug:
+                # Tracker-count debug text, top-left of each tile (the
+                # reference's on-frame cv::putText count,
+                # aw_control_unit.cpp:336-350).
+                from beamforming_lk_tpu.utils.overlay import draw_text
+
+                draw_text(rgb, 4, 4, f"{len(targets)}s", (255, 255, 255),
+                          scale=2)
             tiles.append(rgb)
         self.fps.tick()
         return np.concatenate(tiles, axis=1) if len(tiles) > 1 else tiles[0]
+
+    def handle_click(self, row: int, col: int) -> Optional[tuple]:
+        """Steer the clicked tile's MISO listener at a rendered-frame pixel
+        (the reference's ``clickEvent``, aw_control_unit.cpp:30-47).
+
+        ``(row, col)`` indexes the hconcat frame from :meth:`render_frame`;
+        returns the ``(array_index, theta, phi)`` steered, or None for
+        clicks outside the frame."""
+        from beamforming_lk_tpu.utils.overlay import pixel_to_direction
+
+        n = self.frame_size
+        tile = int(col) // n
+        if not (0 <= tile < len(self.pipelines)) or not (0 <= row < n):
+            return None
+        tcol = int(col) % n
+        if self.flip:  # render mirrors columns; un-mirror the click
+            tcol = n - 1 - tcol
+        theta, phi = pixel_to_direction(
+            row, tcol, n, self.cfg.mimo.fov_degrees
+        )
+        self.pipelines[tile].steer(theta, phi)
+        return tile, theta, phi
 
     def best_track(self):
         return self.fusion.store.best if self.fusion is not None else None
@@ -204,22 +237,55 @@ class ControlUnit:
         output_dir: Optional[str] = None,
         on_frame: Optional[Callable[[np.ndarray], None]] = None,
         miso_wav: Optional[str] = None,
+        miso_mp3: Optional[str] = None,
         record_avi: Optional[str] = None,
         display: bool = False,
         verbose: bool = False,
         sync_every: int = 1,
+        play: Optional[str] = None,
+        player_command: Optional[Sequence[str]] = None,
+        mp3_command: Optional[Sequence[str]] = None,
     ) -> dict:
         """Drive block iterators (one per array) to completion.
 
         ``sources``: iterables of [C, T] blocks (synthetic generator, pcap
         replay, UDP receiver, native ingest — anything).  Returns the final
         metrics summary.
+
+        ``play``: live playback through :class:`io.audio_out.AudioPlayer` —
+        ``"miso"`` streams the steered beam, ``"raw"`` streams mic 0 of
+        array 0 (the reference's two PortAudio callbacks,
+        audio_wrapper.cpp:93-143); degrades with a warning when no player
+        exists.  ``miso_mp3`` records the beam as MP3 alongside the WAV
+        (audio_wrapper.cpp:12-85), degrading likewise without an encoder.
         """
         wav = None
         if miso_wav is not None:
             from beamforming_lk_tpu.io.wav import WavWriter
 
             wav = WavWriter(miso_wav, self.cfg.array.sample_rate)
+        mp3 = player = None
+        if miso_mp3 is not None:
+            from beamforming_lk_tpu.io.audio_out import Mp3Recorder
+
+            try:
+                mp3 = Mp3Recorder(
+                    miso_mp3, self.cfg.array.sample_rate, command=mp3_command
+                )
+            except RuntimeError as e:
+                print(f"mp3 recording disabled: {e}", file=__import__("sys").stderr)
+        if play is not None:
+            if play not in ("raw", "miso"):
+                raise ValueError(f"play must be 'raw' or 'miso', got {play!r}")
+            from beamforming_lk_tpu.io.audio_out import AudioPlayer
+
+            try:
+                player = AudioPlayer(
+                    self.cfg.array.sample_rate, command=player_command
+                )
+            except RuntimeError as e:
+                print(f"audio playback disabled: {e}", file=__import__("sys").stderr)
+                play = None
         recorder = screen = None
         if record_avi is not None:
             from beamforming_lk_tpu.utils.video import VideoRecorder
@@ -243,8 +309,22 @@ class ControlUnit:
                 outs = self.process(
                     blocks, now=now, sync=((i + 1) % max(sync_every, 1) == 0)
                 )
-                if wav is not None:
-                    wav.write(np.asarray(outs[0].miso_beam))
+                if wav is not None or mp3 is not None:
+                    beam = np.asarray(outs[0].miso_beam)
+                    if wav is not None:
+                        wav.write(beam)
+                    if mp3 is not None:
+                        mp3.write(beam)
+                if player is not None:
+                    try:
+                        if play == "miso":
+                            player.play(np.asarray(outs[0].miso_beam))
+                        else:  # raw: mic 0 of array 0 (audioCallback)
+                            player.play(np.asarray(blocks[0])[0])
+                    except RuntimeError as e:
+                        print(f"audio playback stopped: {e}",
+                              file=__import__("sys").stderr)
+                        player = None
                 want_frame = (
                     output_dir is not None or on_frame is not None
                     or recorder is not None or screen is not None
@@ -257,8 +337,11 @@ class ControlUnit:
                         )
                     if recorder is not None:
                         recorder.write(frame)
-                    if screen is not None and screen.show(frame) == "q":
-                        break  # reference UI: 'q' quits
+                    if screen is not None:
+                        if screen.show(frame) == "q":
+                            break  # reference UI: 'q' quits
+                        for r, c in screen.pop_clicks():
+                            self.handle_click(r, c)  # click-to-steer
                     if on_frame is not None:
                         on_frame(frame)
                 if verbose and (i + 1) % 64 == 0:
@@ -272,6 +355,10 @@ class ControlUnit:
         finally:
             if wav is not None:
                 wav.close()
+            if mp3 is not None:
+                mp3.close()
+            if player is not None:
+                player.close()
             if recorder is not None:
                 recorder.close()
             if screen is not None:

@@ -1,10 +1,12 @@
-"""Live audio playback of the MISO beam (optional).
+"""Live audio playback + MP3 recording of the MISO beam (optional).
 
-The reference plays the beam through PortAudio callbacks
-(``src/audio/audio_wrapper.cpp:93-143``).  A compute framework shouldn't
-hard-depend on a sound stack, so playback here is a thin pipe to ``aplay``
-(ALSA) — or any compatible PCM-on-stdin player — degrading gracefully when
-no player/sound device exists (the WAV recorder in io/wav.py is the
+The reference plays the beam through PortAudio callbacks and simultaneously
+records ``output.wav`` AND ``output.mp3``
+(``src/audio/audio_wrapper.cpp:12-85,93-143``).  A compute framework
+shouldn't hard-depend on a sound stack, so playback here is a thin pipe to
+``aplay`` (ALSA) — or any compatible PCM-on-stdin player — and MP3 encoding
+pipes to ``lame``/``ffmpeg`` when present, both degrading gracefully when
+the binary/sound device is missing (the WAV recorder in io/wav.py is the
 always-available sink).
 """
 
@@ -69,6 +71,72 @@ class AudioPlayer:
             except BrokenPipeError:
                 pass
         self._proc.wait(timeout=10)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def default_encoder_command(path: str, sample_rate: float) -> Optional[Sequence[str]]:
+    """An MP3 encoder reading s16le PCM on stdin (``lame`` preferred, the
+    reference's encoder, audio_wrapper.cpp:46-63; ``ffmpeg`` fallback), or
+    None when neither binary exists."""
+    rate = int(round(sample_rate))
+    if shutil.which("lame") is not None:
+        return ["lame", "-r", "-s", str(rate), "-m", "m", "--signed",
+                "--bitwidth", "16", "--little-endian", "-", path]
+    if shutil.which("ffmpeg") is not None:
+        return ["ffmpeg", "-loglevel", "quiet", "-y", "-f", "s16le",
+                "-ar", str(rate), "-ac", "1", "-i", "-", path]
+    return None
+
+
+class Mp3Recorder:
+    """Streams float blocks to an MP3 encoder subprocess
+    (audio_wrapper.cpp:12-85 records output.mp3 alongside output.wav).
+
+    ``command`` overrides the encoder (tests substitute a PCM sink); raises
+    RuntimeError when no encoder is available and none is given — callers
+    degrade to WAV-only.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        sample_rate: float = 48828.0,
+        command: Optional[Sequence[str]] = None,
+    ):
+        if command is None:
+            command = default_encoder_command(path, sample_rate)
+        if command is None:
+            raise RuntimeError(
+                "no MP3 encoder available (lame/ffmpeg not found); "
+                "record with io.wav.WavWriter instead"
+            )
+        self.path = path
+        self._proc = subprocess.Popen(
+            list(command), stdin=subprocess.PIPE,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+
+    def write(self, block) -> None:
+        """Append one float block [T] in [-1, 1]."""
+        data = np.clip(np.asarray(block, np.float32), -1.0, 1.0)
+        pcm = np.round(data * 32767.0).astype("<i2").tobytes()
+        try:
+            self._proc.stdin.write(pcm)
+        except BrokenPipeError as e:
+            raise RuntimeError("MP3 encoder exited") from e
+
+    def close(self) -> None:
+        if self._proc.stdin:
+            try:
+                self._proc.stdin.close()
+            except BrokenPipeError:
+                pass
+        self._proc.wait(timeout=30)
 
     def __enter__(self):
         return self

@@ -34,6 +34,23 @@ def direction_to_pixel(
     return row, col
 
 
+def pixel_to_direction(
+    row: float, col: float, size: int, fov_degrees: float = 180.0
+):
+    """(row, col) on a rendered heatmap tile -> (theta, phi): the inverse of
+    :func:`direction_to_pixel`, used for click-to-steer (the reference's
+    ``clickEvent``, aw_control_unit.cpp:30-47).  Clicks outside the FOV disc
+    clamp to its rim."""
+    half = math.sin(math.radians(fov_degrees) / 2.0)
+    sep = half / (size / 2.0)
+    x = sep * (col - size / 2.0 + 0.5)
+    y = sep * (row - size / 2.0 + 0.5)
+    r = math.hypot(x, y)
+    theta = math.asin(min(r, half))
+    phi = math.atan2(y, x)
+    return theta, phi
+
+
 def _clip(v, lo, hi):
     return max(lo, min(hi, v))
 

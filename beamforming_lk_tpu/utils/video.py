@@ -97,11 +97,28 @@ class LiveDisplay:
         if not has_cv2():
             raise RuntimeError("cv2 unavailable for display")
         self.title = title
+        self._clicks: list = []
+        self._mouse_wired = False
+
+    def _on_mouse(self, event, x, y, *_):
+        import cv2
+
+        if event == cv2.EVENT_LBUTTONDOWN:
+            self._clicks.append((y, x))  # (row, col)
+
+    def pop_clicks(self):
+        """Drain queued left-clicks as (row, col) frame pixels — the
+        reference steers MISO by click (aw_control_unit.cpp:30-47)."""
+        clicks, self._clicks = self._clicks, []
+        return clicks
 
     def show(self, frame: np.ndarray) -> Optional[str]:
         import cv2
 
         cv2.imshow(self.title, cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+        if not self._mouse_wired:
+            cv2.setMouseCallback(self.title, self._on_mouse)
+            self._mouse_wired = True
         key = cv2.waitKey(1) & 0xFF
         return chr(key) if key != 255 else None
 

@@ -65,6 +65,122 @@ def test_two_array_fusion_to_world_track(tmp_path):
     assert np.linalg.norm(best.position - target) < 1.5, best.position
 
 
+def test_live_playback_and_mp3_recording(tmp_path):
+    """`play="miso"` streams s16le PCM of the beam through the player
+    command and `miso_mp3` pipes the SAME samples to the encoder command —
+    the reference plays and records simultaneously
+    (audio_wrapper.cpp:93-143 and :12-85)."""
+    unit = ControlUnit(CFG, enable_tracker=False, enable_miso=True)
+    n = 6
+    blocks = _blocks_for(unit.pipelines[0].points, (0, 0, 0), (0.5, 0.3, 5.0), n, 0)
+    played = str(tmp_path / "played.pcm")
+    encoded = str(tmp_path / "encoded.pcm")
+    wav = str(tmp_path / "out.wav")
+    summary = unit.run(
+        [blocks], n_blocks=n, miso_wav=wav, miso_mp3=str(tmp_path / "out.mp3"),
+        play="miso",
+        player_command=["sh", "-c", f"cat > {played}"],
+        mp3_command=["sh", "-c", f"cat > {encoded}"],
+    )
+    assert summary["blocks"] == n
+    pcm = np.frombuffer(open(played, "rb").read(), "<i2")
+    assert pcm.shape == (n * 256,)
+    enc = np.frombuffer(open(encoded, "rb").read(), "<i2")
+    np.testing.assert_array_equal(pcm, enc)
+    # The played stream is the recorded WAV, within s16 quantization.
+    from beamforming_lk_tpu.io.wav import read_wav
+
+    data, _rate = read_wav(wav)
+    np.testing.assert_allclose(
+        pcm / 32767.0, np.clip(data[0], -1, 1), atol=1.0 / 32000
+    )
+    assert np.abs(pcm).max() > 0, "beam was silent"
+
+
+def test_raw_playback_streams_mic0(tmp_path):
+    unit = ControlUnit(CFG, enable_tracker=False, enable_miso=False)
+    n = 3
+    blocks = _blocks_for(unit.pipelines[0].points, (0, 0, 0), (0.5, 0.3, 5.0), n, 0)
+    played = str(tmp_path / "raw.pcm")
+    unit.run([blocks], n_blocks=n, play="raw",
+             player_command=["sh", "-c", f"cat > {played}"])
+    pcm = np.frombuffer(open(played, "rb").read(), "<i2") / 32767.0
+    want = np.clip(np.concatenate([np.asarray(b)[0] for b in blocks]), -1, 1)
+    np.testing.assert_allclose(pcm, want, atol=1.0 / 32000)
+
+
+def test_audio_degrades_without_player_or_encoder(tmp_path, capsys):
+    """No player/encoder binaries -> warn to stderr and keep running (the
+    reference degrades the same way for its optional sinks)."""
+    import beamforming_lk_tpu.io.audio_out as ao
+
+    unit = ControlUnit(CFG, enable_tracker=False, enable_miso=True)
+    n = 2
+    blocks = _blocks_for(unit.pipelines[0].points, (0, 0, 0), (0.5, 0.3, 5.0), n, 0)
+    old_p, old_e = ao.default_player_command, ao.default_encoder_command
+    ao.default_player_command = lambda *_: None
+    ao.default_encoder_command = lambda *_: None
+    try:
+        summary = unit.run(
+            [blocks], n_blocks=n, play="miso", miso_mp3=str(tmp_path / "x.mp3")
+        )
+    finally:
+        ao.default_player_command, ao.default_encoder_command = old_p, old_e
+    assert summary["blocks"] == n
+    err = capsys.readouterr().err
+    assert "audio playback disabled" in err and "mp3 recording disabled" in err
+
+
+def test_click_to_steer_moves_miso_listener():
+    """A frame click maps pixel -> (theta, phi) -> MISO steer (the
+    reference's clickEvent, aw_control_unit.cpp:30-47)."""
+    from beamforming_lk_tpu.utils.overlay import (
+        direction_to_pixel,
+        pixel_to_direction,
+    )
+
+    unit = ControlUnit(CFG, enable_tracker=False, enable_miso=True)
+    n = unit.frame_size
+    # pixel_to_direction is the exact inverse of direction_to_pixel.
+    for th, ph in [(0.3, 0.7), (0.9, -2.0), (0.05, 3.0)]:
+        r, c = direction_to_pixel(th, ph, n, CFG.mimo.fov_degrees)
+        th2, ph2 = pixel_to_direction(r, c, n, CFG.mimo.fov_degrees)
+        assert abs(th2 - th) < 0.02
+        assert abs((ph2 - ph + np.pi) % (2 * np.pi) - np.pi) < 0.2 / max(th, 0.1)
+
+    before = float(np.asarray(unit.pipelines[0].state.miso.particle.theta)[0])
+    hit = unit.handle_click(n // 4, n // 4)
+    assert hit is not None
+    tile, theta, phi = hit
+    assert tile == 0
+    after = unit.pipelines[0].state.miso.particle
+    assert float(np.asarray(after.theta)[0]) == np.float32(theta) != before
+    assert float(np.asarray(after.phi)[0]) == np.float32(phi)
+    # Clicks outside the frame are ignored.
+    assert unit.handle_click(-1, 0) is None
+    assert unit.handle_click(0, 5 * n) is None
+
+    # With flip the same physical direction lands on the mirrored column.
+    unit_f = ControlUnit(CFG, enable_tracker=False, enable_miso=True, flip=True)
+    hit_f = unit_f.handle_click(n // 4, n - 1 - n // 4)
+    assert hit_f is not None
+    assert abs(hit_f[1] - theta) < 1e-6 and abs(hit_f[2] - phi) < 1e-6
+
+
+def test_debug_overlay_draws_tracker_count():
+    """--debug renders the tracker-count text on each tile
+    (aw_control_unit.cpp:336-350)."""
+    unit = ControlUnit(CFG, enable_tracker=True, enable_miso=False, debug=True)
+    blocks = _blocks_for(unit.pipelines[0].points, (0, 0, 0), (0.5, 0.3, 5.0), 6, 0)
+    for b in blocks:
+        unit.process([b])
+    frame = unit.render_frame()
+    n_targets = len(unit.pipelines[0].targets())
+    corner = frame[4:18, 4:18]
+    assert (corner == 255).all(axis=-1).any(), "no debug text pixels drawn"
+    assert isinstance(n_targets, int)
+
+
 def test_cli_synthetic_smoke(tmp_path, capsys):
     from beamforming_lk_tpu.app.cli import main
 
