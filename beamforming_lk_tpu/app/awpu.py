@@ -137,12 +137,38 @@ def make_awpu_step(
     # Probe stencil span sized from the FULL aperture (points_np before any
     # channel sharding — min-subtraction is global under the mesh).
     span = dl.probe_span(points_np, arr.samples_per_meter, taps, dsp.shift_range)
-    swarm_impl = tk.make_swarm_step_impl(
-        cfg.tracker, dsp, arr, fir_bank, axis_name=axis_name, probe_span=span
+    # Tracker + MISO both on at a real-time cadence -> fuse their probe
+    # evaluations into one monopulse dispatch chain (seekers and the MISO
+    # refine steps ride the tracker sub-step matmuls as extra MXU rows; see
+    # make_fused_step_impl).  Measured on TPU the fusion wins at the
+    # deployment cadence (iterations<=4: the saved seeker/MISO dispatches
+    # are a large fraction of the chain) but loses at the 10-iteration
+    # parity profile (the swarm chain is row-throughput bound, and the
+    # mixed-family rows in every iteration's sub-step 0 outweigh the saved
+    # dispatches) — so gate on the cadence.
+    use_fused = (
+        enable_tracker
+        and enable_miso
+        and cfg.tracker.iterations <= 4
+        and cfg.tracker.iterations * cfg.tracker.tracker_steps >= 3
     )
-    miso_impl = ms.make_miso_step_impl(
-        cfg.tracker, dsp, arr, fir_bank, axis_name=axis_name, probe_span=span
-    )
+    fused_impl = swarm_impl = miso_impl = None
+    if use_fused:
+        fused_impl = tk.make_fused_step_impl(
+            cfg.tracker, dsp, arr, fir_bank, axis_name=axis_name,
+            probe_span=span,
+        )
+    else:
+        if enable_tracker:
+            swarm_impl = tk.make_swarm_step_impl(
+                cfg.tracker, dsp, arr, fir_bank, axis_name=axis_name,
+                probe_span=span,
+            )
+        if enable_miso:
+            miso_impl = ms.make_miso_step_impl(
+                cfg.tracker, dsp, arr, fir_bank, axis_name=axis_name,
+                probe_span=span,
+            )
 
     d_total = cfg.mimo.n_directions
     t_len = dsp.block_size
@@ -204,22 +230,30 @@ def make_awpu_step(
             )
             prev_max = state.prev_max
 
-        # --- GRADIENT tracker worker (gradient_ascend.cpp:301-409)
-        if enable_tracker:
-            swarm, targets = swarm_impl(
-                state.swarm, window, state.block_index, pts, mask
+        # --- GRADIENT tracker + MISO listener workers, fused into one
+        # monopulse dispatch chain when both are on
+        # (gradient_ascend.cpp:301-409, miso.cpp:25-55).
+        if use_fused:
+            swarm, targets, miso_p, miso_beam = fused_impl(
+                state.swarm, state.miso.particle, window,
+                state.block_index, pts, mask,
             )
+            miso = state.miso._replace(particle=miso_p)
         else:
-            swarm = state.swarm
-            z = jnp.zeros((nt,), jnp.float32)
-            targets = tk.Targets(z, z, z, z, z, jnp.zeros((nt,), bool))
+            if enable_tracker:
+                swarm, targets = swarm_impl(
+                    state.swarm, window, state.block_index, pts, mask
+                )
+            else:
+                swarm = state.swarm
+                z = jnp.zeros((nt,), jnp.float32)
+                targets = tk.Targets(z, z, z, z, z, jnp.zeros((nt,), bool))
 
-        # --- MISO listener worker (miso.cpp:25-55)
-        if enable_miso:
-            miso, miso_beam = miso_impl(state.miso, window, pts, mask)
-        else:
-            miso = state.miso
-            miso_beam = jnp.zeros((t_len,), jnp.float32)
+            if enable_miso:
+                miso, miso_beam = miso_impl(state.miso, window, pts, mask)
+            else:
+                miso = state.miso
+                miso_beam = jnp.zeros((t_len,), jnp.float32)
 
         new_state = AwpuState(
             history=history,

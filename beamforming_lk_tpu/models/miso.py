@@ -73,13 +73,13 @@ def make_miso_step_impl(
 
     base_mono = functools.partial(
         _monopulse_step,
+        window=None,
         theta_limit=cfg.theta_limit,
         shift_range=dsp.shift_range,
         mode=dsp.interp,
         fir_bank=bank,
         samples_per_meter=array_cfg.samples_per_meter,
         axis_name=axis_name,
-        span=probe_span,
         compute=dsp.probe_compute,
     )
     span = (
@@ -89,8 +89,21 @@ def make_miso_step_impl(
     )
 
     def step(state: MisoState, window, points, channel_mask):
+        # Hoisted loop-invariant window unfold shared by the refine chain
+        # (compute dtype) and the audio beam (f32); see ops.delay.das_beam_unfolded.
+        pw = (
+            window
+            if span >= dsp.shift_range
+            else window[..., dsp.shift_range - span:]
+        )
+        unf_f32 = dl.unfold_window(pw, span, pw.shape[-1] - span)
+        unf = (
+            unf_f32.astype(jnp.bfloat16)
+            if dsp.probe_compute == "bfloat16"
+            else unf_f32
+        )
         mono = functools.partial(
-            base_mono, points=points, channel_mask=channel_mask
+            base_mono, points=points, channel_mask=channel_mask, unfolded=unf
         )
         particle = state.particle
         active = jnp.ones((1,), bool)
@@ -98,7 +111,6 @@ def make_miso_step_impl(
             particle = mono(
                 particle,
                 active,
-                window,
                 rate=cfg.tracker_step_gain * cfg.tracker_spread / 3.0,
                 spread=cfg.tracker_spread,
             )
@@ -115,8 +127,7 @@ def make_miso_step_impl(
         w = dl.das_weights(delays, span, dsp.interp, bank)
         if channel_mask is not None:
             w = w * channel_mask[..., :, None]
-        beam_window = window[..., dsp.shift_range - span:]
-        beam = dl.das_beam(beam_window, w, axis_name=axis_name)[0]   # [T]
+        beam = dl.das_beam_unfolded(unf_f32, w, axis_name=axis_name)[0]  # [T]
         return MisoState(particle=particle, tracking=state.tracking), beam
 
     return step

@@ -123,8 +123,8 @@ def _monopulse_step(
     window,
     points,
     channel_mask,
-    rate: float,
-    spread: float,
+    rate,
+    spread,
     theta_limit: float,
     shift_range: int,
     mode: str,
@@ -133,6 +133,7 @@ def _monopulse_step(
     axis_name=None,
     span: int | None = None,
     compute: str = "float32",
+    unfolded=None,
 ):
     """One batched GradientParticle::step (gradient_ascend.cpp:30-81).
 
@@ -147,8 +148,20 @@ def _monopulse_step(
     sliced by the same constant the shift base moves, so beams are
     identical while the contraction shrinks.  ``compute="bfloat16"`` runs
     the probe matmul with bf16 inputs / f32 accumulation.
+
+    ``rate``/``spread`` may be scalars or per-particle ``[P]`` arrays —
+    array form lets one dispatch mix particle families with different
+    dynamics (trackers / seekers / the MISO listener).
+
+    ``unfolded`` short-circuits the window handling: a pre-unfolded probe
+    window ``[C, span, T]`` already in the compute dtype (the unfold is
+    loop-invariant across the swarm's sequential monopulse chain, so
+    callers hoist it out of the scan); ``window``/``span``/``compute``
+    are then ignored.
     """
-    if span is None or span >= shift_range:
+    if unfolded is not None:
+        span = unfolded.shape[-2]
+    elif span is None or span >= shift_range:
         span = shift_range
     else:
         window = window[..., shift_range - span:]
@@ -163,7 +176,17 @@ def _monopulse_step(
     w = dl.das_weights(delays, span, mode, fir_bank)
     if channel_mask is not None:
         w = w * channel_mask[..., :, None]
-    if compute == "bfloat16":
+    if unfolded is not None:
+        prec = (
+            jax.lax.Precision.DEFAULT
+            if unfolded.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST
+        )
+        beams = dl.das_beam_unfolded(
+            unfolded, w.astype(unfolded.dtype),
+            precision=prec, axis_name=axis_name,
+        )                                                  # [P, 4, T] (f32 acc)
+    elif compute == "bfloat16":
         beams = dl.das_beam(
             window.astype(jnp.bfloat16),
             w.astype(jnp.bfloat16),
@@ -258,6 +281,7 @@ def make_swarm_step_impl(
 
     base_mono = functools.partial(
         _monopulse_step,
+        window=None,
         theta_limit=cfg.theta_limit,
         shift_range=dsp.shift_range,
         mode=dsp.interp,
@@ -267,12 +291,28 @@ def make_swarm_step_impl(
         span=probe_span,
         compute=dsp.probe_compute,
     )
+    span_eff = (
+        dsp.shift_range
+        if probe_span is None
+        else min(probe_span, dsp.shift_range)
+    )
 
     t_len = dsp.block_size
 
     def step(state: SwarmState, window, block_index, points, channel_mask):
+        # Hoist the probe-window unfold (and compute-dtype cast) out of the
+        # iteration scan: it is loop-invariant, and every monopulse dispatch
+        # below reuses it.
+        pw = (
+            window
+            if span_eff >= dsp.shift_range
+            else window[..., dsp.shift_range - span_eff:]
+        )
+        unf = dl.unfold_window(pw, span_eff, pw.shape[-1] - span_eff)
+        if dsp.probe_compute == "bfloat16":
+            unf = unf.astype(jnp.bfloat16)
         mono = functools.partial(
-            base_mono, points=points, channel_mask=channel_mask
+            base_mono, points=points, channel_mask=channel_mask, unfolded=unf
         )
         # --- Reference power: bandpass power of channel 0's raw block
         # (gradient_ascend.cpp:304-313). The beamformed block sits at window
@@ -306,7 +346,6 @@ def make_swarm_step_impl(
                 tr = mono(
                     tr,
                     tracking,
-                    window,
                     rate=cfg.tracker_step_gain * cfg.tracker_spread,
                     spread=cfg.tracker_spread,
                 )
@@ -325,7 +364,6 @@ def make_swarm_step_impl(
             seekers = mono(
                 seekers,
                 all_on,
-                window,
                 rate=cfg.seeker_step_gain * cfg.seeker_spread,
                 spread=cfg.seeker_spread,
             )
@@ -411,6 +449,277 @@ def make_swarm_step_impl(
             target_valid=tracking,
         )
         return new_state, targets
+
+    return step
+
+
+def make_fused_step_impl(
+    cfg: TrackerConfig,
+    dsp: DspConfig,
+    array_cfg: ArrayConfig,
+    fir_bank=None,
+    axis_name=None,
+    probe_span=None,
+    miso_refine_steps: int = 3,
+):
+    """Fused swarm + MISO per-block update: ONE monopulse dispatch chain.
+
+    The reference evaluates tracker sub-step probes, seeker probes and the
+    MISO listener's refine probes as separate beamforming passes on separate
+    worker threads (gradient_ascend.cpp:301-409, miso.cpp:25-55).  Their
+    data dependencies don't require that: within one swarm iteration the
+    seeker step depends only on the iteration-start seeker state (the jump
+    avoidance uses the *previous block's* published targets), and the MISO
+    refine chain is independent of the swarm entirely.  So all three ride
+    the same batched DAS dispatch as extra matmul rows:
+
+      - sub-step 0 of each iteration dispatches the concatenated
+        [Nt trackers | Ns seekers | 1 miso] batch; sub-steps 1..refine-1
+        dispatch [trackers | miso]; the rest dispatch trackers alone
+      - per-particle rate/spread vectors give each family its dynamics
+
+    The schedule processes exactly the same particle rows as the unfused
+    impls (measured on TPU: the swarm chain is row-throughput bound, NOT
+    dispatch-latency bound, so padding every dispatch to the full combined
+    batch with masked-off rows is a net loss — ~1.6x slower).  Group sizes
+    are static per sub-step index, so the inner loop is a short unrolled
+    Python loop rather than a ``lax.scan``; the dispatch count drops from
+    ``iterations*(tracker_steps+1) + miso_refine_steps + 1`` to
+    ``iterations*tracker_steps + 1``.  The window unfold and compute-dtype
+    cast are hoisted out of the chain (loop-invariant), and the MISO audio
+    beam reuses the hoisted f32 unfold.
+
+    Per-row matmul results are independent of the other rows in the batch,
+    so every particle's trajectory is identical to the unfused
+    :func:`make_swarm_step_impl` / :func:`models.miso.make_miso_step_impl`
+    composition (pinned by ``test_fused_step_parity``).
+
+    Returns ``step(state, miso_particle, window, block_index, points,
+    channel_mask) -> (state, Targets, miso_particle, miso_beam[T])``.
+    Requires ``cfg.iterations * cfg.tracker_steps >= miso_refine_steps``.
+    """
+    if cfg.iterations * cfg.tracker_steps < miso_refine_steps:
+        raise ValueError(
+            f"fused step needs iterations*tracker_steps >= "
+            f"{miso_refine_steps} slots for the MISO refine chain; got "
+            f"{cfg.iterations}*{cfg.tracker_steps}"
+        )
+    if dsp.interp == "fir" and fir_bank is None:
+        fir_bank = dl.fractional_delay_fir_bank(dsp.fir_phases, dsp.fir_taps)
+    bank = None if dsp.interp == "linear" else jnp.asarray(fir_bank)
+    taps = dl.LINEAR_TAPS if dsp.interp == "linear" else dsp.fir_taps
+    spm = array_cfg.samples_per_meter
+    span_eff = (
+        dsp.shift_range
+        if probe_span is None
+        else min(probe_span, dsp.shift_range)
+    )
+    base_mono = functools.partial(
+        _monopulse_step,
+        window=None,
+        theta_limit=cfg.theta_limit,
+        shift_range=dsp.shift_range,
+        mode=dsp.interp,
+        fir_bank=bank,
+        samples_per_meter=spm,
+        axis_name=axis_name,
+        compute=dsp.probe_compute,
+    )
+
+    nt, ns = cfg.n_trackers, cfg.n_seekers
+    tracker_rate = cfg.tracker_step_gain * cfg.tracker_spread
+    seeker_rate = cfg.seeker_step_gain * cfg.seeker_spread
+    miso_rate = tracker_rate / 3.0                       # miso.cpp:39-40
+    # Per-particle dynamics for the two mixed-family dispatch shapes.
+    rates_tsm = jnp.asarray(
+        [tracker_rate] * nt + [seeker_rate] * ns + [miso_rate], jnp.float32
+    )
+    spreads_tsm = jnp.asarray(
+        [cfg.tracker_spread] * nt
+        + [cfg.seeker_spread] * ns
+        + [cfg.tracker_spread],
+        jnp.float32,
+    )
+    rates_tm = jnp.asarray([tracker_rate] * nt + [miso_rate], jnp.float32)
+    spreads_tm = jnp.asarray(
+        [cfg.tracker_spread] * (nt + 1), jnp.float32
+    )
+    t_len = dsp.block_size
+
+    def concat_p(*groups: Particles) -> Particles:
+        return jax.tree.map(
+            lambda *leaves: jnp.concatenate(leaves), *groups
+        )
+
+    def step(
+        state: SwarmState, miso_particle: Particles, window, block_index,
+        points, channel_mask,
+    ):
+        # --- Reference power (gradient_ascend.cpp:304-313); see
+        # make_swarm_step_impl for the sharded channel-0 selection.
+        b0 = dsp.shift_range - taps
+        raw = jax.lax.dynamic_slice_in_dim(window[0], b0, t_len)
+        reference = dl.das_power(raw, use_bandpass=True, divisor=t_len - 2)
+        if axis_name is not None:
+            on_shard0 = (jax.lax.axis_index(axis_name) == 0).astype(reference.dtype)
+            reference = jax.lax.psum(reference * on_shard0, axis_name)
+
+        # --- Hoisted loop-invariant probe window unfold (f32 kept for the
+        # audio beam; compute dtype for the probe chain).
+        pw = (
+            window
+            if span_eff >= dsp.shift_range
+            else window[..., dsp.shift_range - span_eff:]
+        )
+        unf_f32 = dl.unfold_window(pw, span_eff, pw.shape[-1] - span_eff)
+        unf = (
+            unf_f32.astype(jnp.bfloat16)
+            if dsp.probe_compute == "bfloat16"
+            else unf_f32
+        )
+        mono = functools.partial(
+            base_mono, points=points, channel_mask=channel_mask, unfolded=unf
+        )
+
+        # --- Seeker reset (gradient_ascend.cpp:295-299).
+        key, sub = jax.random.split(state.key)
+        do_reset = jnp.mod(state.reset_count, cfg.seeker_reset_interval) == 0
+        r_theta, r_phi = _random_directions(sub, cfg.n_seekers, cfg.theta_limit)
+        seekers = state.seekers._replace(
+            theta=jnp.where(do_reset, r_theta, state.seekers.theta),
+            phi=jnp.where(do_reset, r_phi, state.seekers.phi),
+        )
+        tracking, start, mean = state.tracking, state.start, state.mean
+
+        def iteration(carry, it_idx):
+            trackers, seekers, miso_p, tracking, start, mean, key = carry
+
+            # Sub-step chain: group composition is static per sub-step
+            # index, so unroll in Python — every dispatch carries exactly
+            # the rows that need stepping (plus the 1 miso row, masked off
+            # once its refine budget is spent).
+            for j in range(cfg.tracker_steps):
+                slot = it_idx * cfg.tracker_steps + j
+                miso_on = jnp.broadcast_to(slot < miso_refine_steps, (1,))
+                if j == 0:
+                    comb = concat_p(trackers, seekers, miso_p)
+                    active = jnp.concatenate([
+                        tracking, jnp.ones((ns,), bool), miso_on,
+                    ])
+                    comb = mono(
+                        comb, active, rate=rates_tsm, spread=spreads_tsm
+                    )
+                    trackers = jax.tree.map(lambda x: x[:nt], comb)
+                    seekers = jax.tree.map(lambda x: x[nt:nt + ns], comb)
+                    miso_p = jax.tree.map(lambda x: x[nt + ns:], comb)
+                elif j < miso_refine_steps:
+                    comb = concat_p(trackers, miso_p)
+                    active = jnp.concatenate([tracking, miso_on])
+                    comb = mono(
+                        comb, active, rate=rates_tm, spread=spreads_tm
+                    )
+                    trackers = jax.tree.map(lambda x: x[:nt], comb)
+                    miso_p = jax.tree.map(lambda x: x[nt:], comb)
+                else:
+                    trackers = mono(
+                        trackers, tracking,
+                        rate=tracker_rate, spread=cfg.tracker_spread,
+                    )
+            n_tracking = jnp.sum(tracking)
+
+            # Merge close trackers (oldest wins).
+            tracking = _merge_trackers(
+                trackers, tracking, start, cfg.tracker_closeness
+            )
+
+            # Jump seekers near a published target (gradient_ascend.cpp:360-371).
+            ang = spherical_angle(
+                seekers.theta[:, None],
+                seekers.phi[:, None],
+                state.target_theta[None, :],
+                state.target_phi[None, :],
+            )
+            too_close = jnp.any(
+                (ang < cfg.tracker_closeness) & state.target_valid, axis=1
+            )
+            key, k1, k2 = jax.random.split(key, 3)
+            jump = cfg.theta_limit / 2.0
+            j_theta = seekers.theta + (jax.random.uniform(k1, seekers.theta.shape) * 2 - 1) * jump
+            j_phi = seekers.phi + (jax.random.uniform(k2, seekers.phi.shape) * 2 - 1) * jump
+            j_theta, j_phi = normalize_spherical(j_theta, j_phi, cfg.theta_limit)
+            seekers = seekers._replace(
+                theta=jnp.where(too_close, j_theta, seekers.theta),
+                phi=jnp.where(too_close, j_phi, seekers.phi),
+            )
+
+            # Converged-best seeker -> promote (gradient_ascend.cpp:374-393).
+            valid = ~too_close
+            converged = valid & (seekers.error < cfg.error_threshold)
+            power_masked = jnp.where(converged, seekers.radius, -jnp.inf)
+            best = jnp.argmax(power_masked)
+            better = jnp.any(converged & (seekers.radius > 0.0))
+            promote = better & (n_tracking < cfg.n_trackers) & ~tracking
+            trackers = trackers._replace(
+                theta=jnp.where(promote, seekers.theta[best], trackers.theta),
+                phi=jnp.where(promote, seekers.phi[best], trackers.phi),
+            )
+            start = jnp.where(promote, block_index.astype(jnp.float32), start)
+            tracking = tracking | promote
+
+            n_valid = jnp.maximum(jnp.sum(valid), 1)
+            mean = jnp.sum(jnp.where(valid, seekers.radius, 0.0)) / n_valid
+            return (trackers, seekers, miso_p, tracking, start, mean, key), None
+
+        (trackers, seekers, miso_p, tracking, start, mean, key), _ = jax.lax.scan(
+            iteration,
+            (state.trackers, seekers, miso_particle, tracking, start, mean, key),
+            jnp.arange(cfg.iterations),
+        )
+
+        # Publish: prune weak/diverged trackers + sidelobe gate.
+        weak = (
+            (trackers.radius < mean)
+            | (trackers.radius < reference)
+            | (trackers.error > cfg.error_threshold)
+        )
+        tracking = tracking & ~weak
+        if cfg.min_power_fraction > 0.0:
+            strongest = jnp.max(jnp.where(tracking, trackers.radius, 0.0))
+            tracking = tracking & (
+                trackers.radius >= cfg.min_power_fraction * strongest
+            )
+        targets = Targets(
+            theta=trackers.theta,
+            phi=trackers.phi,
+            power=trackers.radius,
+            probability=1.0 / jnp.maximum(trackers.error, 1e-30),
+            start=start,
+            valid=tracking,
+        )
+        new_state = SwarmState(
+            seekers=seekers,
+            trackers=trackers,
+            tracking=tracking,
+            start=start,
+            jumped=state.jumped,
+            mean=mean,
+            reset_count=state.reset_count + 1,
+            key=key,
+            target_theta=trackers.theta,
+            target_phi=trackers.phi,
+            target_valid=tracking,
+        )
+
+        # --- MISO audio beam at the refined direction (miso.cpp:41-55):
+        # float32, reusing the hoisted f32 unfold.
+        delays = ant.steering_delays(
+            points, miso_p.theta, miso_p.phi, spm, axis_name=axis_name
+        )  # [1, C]
+        w = dl.das_weights(delays, span_eff, dsp.interp, bank)
+        if channel_mask is not None:
+            w = w * channel_mask[..., :, None]
+        miso_beam = dl.das_beam_unfolded(unf_f32, w, axis_name=axis_name)[0]
+        return new_state, targets, miso_p, miso_beam
 
     return step
 

@@ -133,13 +133,28 @@ def interp_weights(fractions, mode: str = "linear", fir_bank=None):
 
 
 def das_weights(delays, shift_range: int, mode: str = "linear", fir_bank=None):
-    """Dense one-hot DAS stencil W[..., C, S] from delays [..., C].
+    """Dense DAS stencil W[..., C, S] from delays [..., C].
 
-    ``W[..., c, shift + j] = w_j`` — built with ``taps`` iota comparisons so
-    it traces cleanly under jit (directions may change every step, e.g. the
-    tracker's probe beams).
+    ``W[..., c, shift + j] = w_j`` — built from iota so it traces cleanly
+    under jit (directions may change every step, e.g. the tracker's probe
+    beams).
+
+    For linear interpolation the two-tap stencil ``[f at shift, 1-f at
+    shift+1]`` is exactly a unit triangle hat centered at ``shift + 1 - f``,
+    so it is built closed-form in 3 elementwise ops on ``[..., C, S]``
+    (subtract / abs / relu) with no ``[..., C, taps, S]`` intermediate —
+    this build runs once per sequential monopulse dispatch in the tracker
+    swarm chain and is its elementwise bottleneck, not the MXU matmul.
     """
-    taps = LINEAR_TAPS if mode == "linear" else int(np.shape(fir_bank)[-1])
+    if mode == "linear":
+        shift, frac = delay_lut(delays, shift_range, LINEAR_TAPS)
+        k = jnp.arange(shift_range, dtype=jnp.float32)      # [S]
+        # delta = k - shift is an exact small float; subtracting (1 - f)
+        # in that space keeps the taps bit-equal to [f, 1-f] (subtracting
+        # from a pre-added center would round at ulp(shift)).
+        delta = k - shift.astype(jnp.float32)[..., None]    # [..., C, S]
+        return jnp.maximum(0.0, 1.0 - jnp.abs(delta - (1.0 - frac[..., None])))
+    taps = int(np.shape(fir_bank)[-1])
     shift, frac = delay_lut(delays, shift_range, taps)
     w = interp_weights(frac, mode, fir_bank)  # [..., C, taps]
     k = jnp.arange(shift_range, dtype=jnp.int32)  # [S]
@@ -206,6 +221,20 @@ def das_beam(window, weights, *, precision=jax.lax.Precision.HIGHEST,
     s = weights.shape[-1]
     t = tw - s
     unf = unfold_window(window, s, t)                   # [C, S, T]
+    return das_beam_unfolded(
+        unf, weights, precision=precision, axis_name=axis_name
+    )
+
+
+def das_beam_unfolded(unf, weights, *, precision=jax.lax.Precision.HIGHEST,
+                      axis_name=None):
+    """:func:`das_beam` on a pre-unfolded window ``unf[C, S, T]``.
+
+    The unfold is loop-invariant across the tracker swarm's sequential
+    monopulse chain (the window doesn't change within a block), so hoisting
+    it out of the ``lax.scan`` body and reusing it across every probe
+    dispatch removes S slices + a stack (and the bf16 cast) per step.
+    """
     # Accumulate in float32 regardless of input dtype (bf16 inputs run the
     # MXU at full rate; bf16 accumulation over C*S terms would not be OK).
     beam = jnp.einsum(

@@ -150,12 +150,16 @@ def _rotated_probes(base_phis_deg, theta, phi, spread):
     """
     theta = jnp.asarray(theta, jnp.float32)
     phi = jnp.asarray(phi, jnp.float32)
+    spread = jnp.asarray(spread, jnp.float32)   # scalar or [...] per particle
     base_phi = jnp.deg2rad(jnp.asarray(base_phis_deg, jnp.float32))
-    base = spherical_to_cartesian(jnp.full_like(base_phi, spread), base_phi)  # [4, 3]
+    # [..., 4, 3]; [4, 3] for scalar spread
+    base = spherical_to_cartesian(
+        spread[..., None] * jnp.ones_like(base_phi), base_phi
+    )
 
     rotate_theta, adjusted_theta = _edge_adjust(theta, spread)
     rot = rotation_z(phi) @ rotation_y(rotate_theta)          # [..., 3, 3]
-    rotated = jnp.einsum("...ij,pj->...pi", rot, base)
+    rotated = jnp.einsum("...ij,...pj->...pi", rot, base)
     probe_theta = jnp.arccos(jnp.clip(rotated[..., 2], -1.0, 1.0))
     probe_phi = jnp.arctan2(rotated[..., 1], rotated[..., 0])
     return probe_theta, probe_phi, adjusted_theta
