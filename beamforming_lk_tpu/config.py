@@ -123,6 +123,11 @@ class TrackerConfig:
     # dependent — see models/tracker.py).
     seeker_step_gain: float = 2.0
     tracker_step_gain: float = 1.0
+    # Monopulse probe constellation — the reference's compile-time
+    # USE_HORIZONTAL (gradient_ascend.h:34): "quadrant" (= 0, default)
+    # probes the diagonals, "horizontal" probes N/E/S/W
+    # (Spherical::nearby, geometry.cpp:144-179).
+    probe_layout: str = "quadrant"
     fov_degrees: float = 180.0
     iterations: int = 10         # swarm update iterations per block
     # Stop trackers weaker than this fraction of the strongest active one.
@@ -145,6 +150,11 @@ class TriangulationConfig:
     target_handler.cpp:91-128)."""
 
     distance_threshold: float = 1.0   # max closest-approach between rays [m]
+    # Grow the per-track merge box with log(hits) (the reference computes
+    # this, CalculateDistanceThreshold target_handler.cpp:116-121, but its
+    # CheckTracksForTarget never calls it — default False matches that
+    # behavior; True actually applies it).
+    adaptive_merge: bool = False
     max_range: float = 20.0           # targets beyond this are rejected [m]
     min_z: float = 0.0                # targets behind the arrays rejected
     near_z: float = 1.0               # closer than this = static noise

@@ -130,7 +130,12 @@ class TrackStore:
             delta = np.abs(position - track.position)
             if np.all(delta < self.cfg.track_duplicate_eps):
                 return  # bit-identical: usually static noise, drop
-            if np.all(delta < self.cfg.track_merge_distance):
+            merge_dist = (
+                self.adaptive_distance(track)
+                if self.cfg.adaptive_merge
+                else self.cfg.track_merge_distance
+            )
+            if np.all(delta < merge_dist):
                 track.position = position
                 track.hits += 1
                 track.time_last_hit = now

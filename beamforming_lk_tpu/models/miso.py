@@ -81,6 +81,7 @@ def make_miso_step_impl(
         samples_per_meter=array_cfg.samples_per_meter,
         axis_name=axis_name,
         compute=dsp.probe_compute,
+        probe_layout=cfg.probe_layout,
     )
     span = (
         dsp.shift_range

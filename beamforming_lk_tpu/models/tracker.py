@@ -38,6 +38,7 @@ from beamforming_lk_tpu.ops import antenna as ant
 from beamforming_lk_tpu.ops import delay as dl
 from beamforming_lk_tpu.ops.geometry import (
     normalize_spherical,
+    nearby_probes,
     quadrant_probes,
     spherical_angle,
 )
@@ -134,6 +135,7 @@ def _monopulse_step(
     span: int | None = None,
     compute: str = "float32",
     unfolded=None,
+    probe_layout: str = "quadrant",
 ):
     """One batched GradientParticle::step (gradient_ascend.cpp:30-81).
 
@@ -158,6 +160,13 @@ def _monopulse_step(
     loop-invariant across the swarm's sequential monopulse chain, so
     callers hoist it out of the scan); ``window``/``span``/``compute``
     are then ignored.
+
+    ``probe_layout`` selects the monopulse probe constellation — the
+    reference's compile-time ``USE_HORIZONTAL`` (gradient_ascend.h:34):
+    ``"quadrant"`` (default, = USE_HORIZONTAL 0) probes the four
+    diagonals; ``"horizontal"`` probes N/E/S/W (``Spherical::nearby``,
+    geometry.cpp:144-179) with the reference's max-normalized axis
+    discriminants (gradient_ascend.cpp:41-48).
     """
     if unfolded is not None:
         span = unfolded.shape[-2]
@@ -166,9 +175,10 @@ def _monopulse_step(
     else:
         window = window[..., shift_range - span:]
     theta, phi = particles.theta, particles.phi
-    pt, pp, adj_theta = quadrant_probes(theta, phi, spread)
+    probe_fn = quadrant_probes if probe_layout == "quadrant" else nearby_probes
+    pt, pp, adj_theta = probe_fn(theta, phi, spread)
     pt, pp = normalize_spherical(pt, pp, theta_limit)      # particle.h:24-27
-    theta = adj_theta  # quadrant() nudges theta near the FoV edge
+    theta = adj_theta  # probes nudge theta near the FoV edge
 
     delays = ant.steering_delays(
         points, pt, pp, samples_per_meter, axis_name=axis_name
@@ -207,8 +217,16 @@ def _monopulse_step(
     # reference's raw-mic power, gradient_ascend.cpp:69-71) makes the
     # discriminant scale-invariant in [-1, 1], so step sizes proportional to
     # the probe spread converge regardless of absolute signal level.
-    grad_theta = ((q1 + q2) - (q3 + q4)) / total
-    grad_phi = ((q1 + q4) - (q2 + q3)) / total
+    if probe_layout == "quadrant":
+        grad_theta = ((q1 + q2) - (q3 + q4)) / total
+        grad_phi = ((q1 + q4) - (q2 + q3)) / total
+    else:
+        # Horizontal N/E/S/W probes (gradient_ascend.cpp:41-48, sign
+        # matched to OUR probe orientation: q1=N sits at larger theta,
+        # q2=E at larger phi).  The reference normalizes each axis by the
+        # max of its pair; both discriminants stay in [-1, 1].
+        grad_theta = (q1 - q3) / jnp.maximum(jnp.maximum(q1, q3), 1e-30)
+        grad_phi = (q2 - q4) / jnp.maximum(jnp.maximum(q2, q4), 1e-30)
     error = jnp.abs(grad_theta) + jnp.abs(grad_phi)
     radius = (q1 + q2 + q3 + q4) / 4.0
 
@@ -290,6 +308,7 @@ def make_swarm_step_impl(
         axis_name=axis_name,
         span=probe_span,
         compute=dsp.probe_compute,
+        probe_layout=cfg.probe_layout,
     )
     span_eff = (
         dsp.shift_range
@@ -524,6 +543,7 @@ def make_fused_step_impl(
         samples_per_meter=spm,
         axis_name=axis_name,
         compute=dsp.probe_compute,
+        probe_layout=cfg.probe_layout,
     )
 
     nt, ns = cfg.n_trackers, cfg.n_seekers

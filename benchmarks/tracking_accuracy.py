@@ -84,6 +84,108 @@ def run_scenario(
     }
 
 
+def run_multi_scenario(
+    n_sources: int = 3,
+    n_blocks: int = 160,
+    lock_deg: float = 4.0,
+    noise_std: float = 0.05,
+    motion_deg_per_s: float = 8.0,
+    seed: int = 0,
+    probe_compute: str = "float32",
+):
+    """Simultaneous moving sources: per-source continuity/RMSE + merges.
+
+    The reference runs up to 10 concurrent trackers
+    (gradient_ascend.h:22-35) but never measures them; this pins the
+    swarm's multi-target behavior: each source's lock/continuity/RMSE,
+    how many distinct trackers stay up, and how often two sources
+    collapse onto one tracker (`merged_blocks` — the closeness merge
+    keeps ONE tracker when sources come within tracker_closeness).
+    """
+    from beamforming_lk_tpu.config import DspConfig
+
+    cfg = Config(
+        dsp=DspConfig(probe_compute=probe_compute),
+        mimo=MimoConfig(rows=8, columns=8),
+        tracker=TrackerConfig(iterations=4),
+    )
+    pipe = AwpuPipeline(cfg, seed=seed, enable_mimo=False, enable_miso=False)
+    dt = cfg.dsp.block_seconds
+    rate = math.radians(motion_deg_per_s)
+
+    # Well-separated starts spread in azimuth, distinct elevations and
+    # motion phases so paths cross in azimuth but not exactly in angle.
+    base = [
+        (0.40, 0.6, 5000.0),
+        (0.55, 2.7, 4200.0),
+        (0.30, 4.4, 6100.0),
+    ][:n_sources]
+
+    lock_block = [None] * n_sources
+    errors = [[] for _ in range(n_sources)]
+    tracked = [0] * n_sources
+    merged_blocks = 0
+    n_valid_hist = []
+    for b in range(n_blocks):
+        t = b * dt
+        srcs = [
+            (
+                th0 + 0.04 * math.sin(2 * math.pi * 0.4 * t + k),
+                ph0 + rate * t * (1 if k % 2 == 0 else -1),
+                f,
+            )
+            for k, (th0, ph0, f) in enumerate(base)
+        ]
+        block = plane_wave_block(
+            pipe.points, srcs, b * cfg.dsp.block_size,
+            cfg.dsp.block_size, cfg.array, noise_std=noise_std,
+        )
+        pipe.process_block(block)
+        tgts = pipe.targets()
+        n_valid_hist.append(len(tgts))
+        if not tgts:
+            continue
+        assignment = []
+        for k, (th, ph, _f) in enumerate(srcs):
+            errs = [
+                float(spherical_angle(tg["theta"], tg["phi"], th, ph))
+                for tg in tgts
+            ]
+            j = int(np.argmin(errs))
+            err_deg = math.degrees(errs[j])
+            if err_deg < lock_deg:
+                assignment.append(j)
+                if lock_block[k] is None:
+                    lock_block[k] = b
+                tracked[k] += 1
+                errors[k].append(err_deg)
+        if len(assignment) > len(set(assignment)):
+            merged_blocks += 1
+
+    def per_source(k):
+        steady = errors[k][len(errors[k]) // 2 :]
+        return {
+            "lock_block": lock_block[k],
+            "tracked_fraction": round(tracked[k] / n_blocks, 3),
+            "steady_rmse_deg": round(
+                float(np.sqrt(np.mean(np.square(steady)))), 3
+            ) if steady else None,
+        }
+
+    return {
+        "n_sources": n_sources,
+        "blocks": n_blocks,
+        "sources": [per_source(k) for k in range(n_sources)],
+        "merged_blocks": merged_blocks,
+        "mean_active_trackers": round(float(np.mean(n_valid_hist)), 2),
+    }
+
+
 if __name__ == "__main__":
     for pc in ("float32", "bfloat16"):
         print(pc, json.dumps(run_scenario(probe_compute=pc), indent=2))
+    for n in (2, 3):
+        print(
+            f"multi{n}",
+            json.dumps(run_multi_scenario(n_sources=n), indent=2),
+        )

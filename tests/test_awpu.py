@@ -213,3 +213,34 @@ def test_auto_calibration_masks_dead_channel():
     theta, phi = make_mimo_grid(cfg.mimo)
     d = int(np.argmax(np.asarray(out.powers)))
     assert float(spherical_angle(theta[d], phi[d], SRC[0], SRC[1])) < np.radians(10)
+
+
+def test_fft_backend_falls_back_to_dense_under_channel_sharding(capsys):
+    # backend="fft" requires the full channel axis on every shard; under a
+    # ch>1 mesh the step must WARN and fall back to the dense kernel with
+    # numerically-equivalent heatmap powers (awpu.py fft_model gating).
+    import dataclasses
+
+    points = ant.create_antenna_grid()
+    fft_cfg = dataclasses.replace(
+        CFG, mimo=MimoConfig(rows=16, columns=16, backend="fft")
+    )
+    blocks = _blocks(points, 2)
+
+    dense_step = make_awpu_step(points, CFG)
+    dense_state = awpu_init(CFG, points.shape[1], seed=3)
+
+    mesh = pm.make_mesh((2, 4))  # ch axis = 2 -> fft unavailable
+    fb_step = make_awpu_step(points, fft_cfg, mesh=mesh)
+    fb_state = awpu_init(fft_cfg, points.shape[1], mesh=mesh, seed=3)
+    assert "using dense" in capsys.readouterr().err
+
+    for blk in blocks:
+        blk = jnp.asarray(blk)
+        dense_state, dense_out = dense_step(dense_state, blk)
+        fb_state, fb_out = fb_step(fb_state, blk)
+
+    np.testing.assert_allclose(
+        np.asarray(fb_out.powers), np.asarray(dense_out.powers),
+        rtol=2e-4, atol=1e-14,
+    )

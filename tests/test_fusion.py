@@ -176,3 +176,26 @@ def test_ray_log_round_trip(tmp_path):
     assert out.returncode == 0, out.stderr
     assert "3 ray pairs, 3 valid intersections" in out.stdout
     assert "best:" in out.stdout
+
+
+def test_adaptive_merge_grows_with_hits():
+    # CalculateDistanceThreshold (target_handler.cpp:116-121) applied when
+    # cfg.adaptive_merge is on: a well-established track (many hits) merges
+    # targets beyond the base 1 m box; a fresh track does not.
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, adaptive_merge=True)
+    store = TrackStore(cfg)
+    store.add_target([0.0, 0.0, 5.0], now=0.0)
+    for i in range(30):  # build up hits: threshold = 1 + 0.325*log(hits)
+        store.add_target([0.0, 0.0, 5.0 + 1e-6 * (i + 1)], now=0.01 * i)
+    assert store.tracks[0].hits == 31
+    thresh = store.adaptive_distance(store.tracks[0])
+    assert thresh > 2.0
+    store.add_target([0.0, 0.0, 5.0 + 0.5 * (thresh + 1.0)], now=0.5)
+    assert len(store.tracks) == 1, "adaptive box should have merged"
+    # Fresh store without the flag: same offset spawns a second track.
+    store2 = TrackStore(CFG)
+    store2.add_target([0.0, 0.0, 5.0], now=0.0)
+    store2.add_target([0.0, 0.0, 5.0 + 0.5 * (thresh + 1.0)], now=0.1)
+    assert len(store2.tracks) == 2

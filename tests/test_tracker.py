@@ -181,3 +181,20 @@ def test_two_sources_both_tracked():
     d2 = min(float(spherical_angle(t["theta"], t["phi"], *s2[:2])) for t in tgts)
     assert np.degrees(d1) < 2.0, np.degrees(d1)
     assert np.degrees(d2) < 2.0, np.degrees(d2)
+
+
+def test_tracker_converges_with_horizontal_probes():
+    # USE_HORIZONTAL=1 layout (Spherical::nearby N/E/S/W probes with the
+    # reference's max-normalized axis discriminants,
+    # gradient_ascend.cpp:41-48) must also lock onto a source.
+    src_theta, src_phi = math.radians(25.0), math.radians(60.0)
+    import dataclasses
+
+    cfg = dataclasses.replace(TCFG, probe_layout="horizontal")
+    state, targets = _run_blocks([(src_theta, src_phi, 5000.0)], 25, cfg=cfg)
+    valid = np.asarray(targets.valid)
+    assert valid.any(), "no tracker locked on (horizontal probes)"
+    th = np.asarray(targets.theta)[valid]
+    ph = np.asarray(targets.phi)[valid]
+    d = np.degrees(np.asarray(spherical_angle(th, ph, src_theta, src_phi)))
+    assert d.min() < 10.0, f"closest tracker {d.min():.1f} deg away"
