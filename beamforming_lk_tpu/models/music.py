@@ -31,6 +31,7 @@ import numpy as np
 
 from beamforming_lk_tpu.config import ArrayConfig
 from beamforming_lk_tpu.models.mvdr import (
+    _attach_scan,
     _stft_snapshots,
     dft_tables,
     hermitian_embed,
@@ -88,6 +89,21 @@ def make_music_step(
     if not 0 < k < c:
         raise ValueError(f"n_sources must be in (0, {c}), got {k}")
 
+    impl = _make_music_impl(frame_size, hop, mask, ema_alpha, c, k)
+    jitted = jax.jit(impl)
+
+    def step(state: MusicState, block):
+        return jitted(state, jnp.asarray(block, jnp.float32), v, dft_t)
+
+    step.scan = _attach_scan(impl, (v, dft_t))
+    return step, len(bins)
+
+
+def _make_music_impl(frame_size, hop, mask, ema_alpha, c, k):
+    """Per-block MUSIC update with operands (steering planes, DFT tables)
+    as explicit arguments — shared by :func:`make_music_step` and the TPU
+    benchmark (which builds the 95 MB steering planes on device)."""
+
     def impl(state: MusicState, block, v_local, dft_local):
         xr, xi, n_frames = _stft_snapshots(block, dft_local, frame_size, hop, mask)
         r_re = (
@@ -129,9 +145,4 @@ def make_music_step(
                                count=state.count + 1)
         return new_state, pseudo
 
-    jitted = jax.jit(impl)
-
-    def step(state: MusicState, block):
-        return jitted(state, jnp.asarray(block, jnp.float32), v, dft_t)
-
-    return step, len(bins)
+    return impl

@@ -28,6 +28,7 @@ bins sharded across the pod" story).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -239,7 +240,33 @@ def make_mvdr_step(
     def step(state: MvdrState, block):
         return jitted(state, jnp.asarray(block, jnp.float32), v, dft_t, binw)
 
+    step.scan = _attach_scan(impl, (v, dft_t, binw))
     return step, len(bins)
+
+
+def _attach_scan(impl, operands):
+    """``scan(state, blocks[, n]) -> (state, powers[n, D])`` for a per-block
+    impl — the whole sequence as ONE device program (no per-block host
+    round-trips; the only deployment shape that is not dispatch-latency
+    bound through a remote-TPU tunnel).  ``n`` beyond ``blocks.shape[0]``
+    cycles the pool (benchmark shape)."""
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def scan_n(state, blocks, n, *ops):
+        k = blocks.shape[0]
+
+        def body(carry, i):
+            carry, p = impl(carry, blocks[i % k], *ops)
+            return carry, p
+
+        return jax.lax.scan(body, state, jnp.arange(n))
+
+    def scan(state, blocks, n: int | None = None):
+        blocks = jnp.asarray(blocks, jnp.float32)
+        n = int(blocks.shape[0]) if n is None else n
+        return scan_n(state, blocks, n, *operands)
+
+    return scan
 
 
 def make_sharded_mvdr_step(

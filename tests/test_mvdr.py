@@ -136,3 +136,47 @@ def test_bin_sharded_mvdr_matches_dense():
     b = np.asarray(sh_p, np.float64)
     np.testing.assert_allclose(b, a, rtol=5e-4)
     assert int(np.argmax(a)) == int(np.argmax(b))
+
+
+def test_scan_matches_stepwise():
+    # step.scan (one chained device program, the tunnel-honest deployment
+    # and benchmark shape) must reproduce the per-block step sequence.
+    points = ant.create_antenna_grid()
+    theta, phi = make_mimo_grid(MimoConfig(rows=8, columns=8))
+    step, n_bins = make_mvdr_step(points, theta, phi, ACFG)
+    c = points.shape[1]
+    blocks = np.stack([
+        plane_wave_block(points, [(0.4, 1.0, 3000.0)], b * 256, 256, ACFG,
+                         noise_std=0.05)
+        for b in range(4)
+    ])
+    s1 = s2 = mvdr_init(n_bins, c)
+    for b in blocks:
+        s1, p1 = step(s1, jnp.asarray(b))
+    s2, ps = step.scan(s2, blocks)
+    np.testing.assert_allclose(np.asarray(ps[-1]), np.asarray(p1),
+                               rtol=2e-5, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(s2.cov_re), np.asarray(s1.cov_re),
+                               rtol=2e-5, atol=1e-9)
+
+
+def test_music_scan_matches_stepwise():
+    from beamforming_lk_tpu.models.music import make_music_step, music_init
+
+    points = ant.create_antenna_grid()
+    theta, phi = make_mimo_grid(MimoConfig(rows=8, columns=8))
+    step, n_bins = make_music_step(points, theta, phi, ACFG, n_sources=2)
+    c = points.shape[1]
+    blocks = np.stack([
+        plane_wave_block(points, [(0.4, 1.0, 3000.0)], b * 256, 256, ACFG,
+                         noise_std=0.05)
+        for b in range(4)
+    ])
+    s1 = s2 = music_init(n_bins, c)
+    for b in blocks:
+        s1, p1 = step(s1, jnp.asarray(b))
+    s2, ps = step.scan(s2, blocks)
+    # eigh in a scan body may pick different eigenvector signs per step on
+    # some backends; the pseudo-spectrum is sign-invariant.
+    np.testing.assert_allclose(np.asarray(ps[-1]), np.asarray(p1),
+                               rtol=5e-4, atol=1e-9)
