@@ -47,11 +47,14 @@ binary masks; non-binary gain masks fall back to the dense kernel.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from beamforming_lk_tpu.ops import delay as dl
 
@@ -164,6 +167,17 @@ class FftHeatmapModel:
     compute: str = "float32"    # matmul input dtype ("float32" | "bfloat16")
     phat: bool = False          # SRP-PHAT: whiten spectra to unit magnitude
     band_weight: Optional[jax.Array] = None  # [F] per-bin weight (PHAT band)
+    #: [2F, Tp] power matrix — the inverse DFT restricted to the block with
+    #: the 3-tap bandpass folded into its columns (Tp = T-2 zero-padded to a
+    #: lane multiple), so block power is ``rowsum((b2s^T @ pow_ri)^2)`` and
+    #: the [D, T] beam never exists.  See :func:`fft_heatmap_powers`.
+    pow_ri: Optional[jax.Array] = None
+    #: Which final power stage to run: "fused" (default; frequency-side
+    #: power matmul, XLA), "pallas" (same math, one Pallas kernel with the
+    #: square-reduce in VMEM), "beam" (materialize the [D, T] beam then
+    #: ops.delay.das_power — the reference formulation, kept for debugging
+    #: and for consumers that want the beams themselves).
+    power_path: str = "fused"
 
 
 def make_fft_heatmap_model(
@@ -174,6 +188,7 @@ def make_fft_heatmap_model(
     channel_mask=None,
     compute: Optional[str] = None,
     phat_band=(550.0, 9000.0),
+    power_path: str = "fused",
 ) -> Optional[FftHeatmapModel]:
     """Precompute the separable steering factors, or None if this
     configuration does not factor (non-lattice points / gain masks)."""
@@ -240,13 +255,23 @@ def make_fft_heatmap_model(
         wt[-1] = 1.0
     t_out = np.arange(t, dtype=np.float64)[None, :]
     i_ang = 2.0 * np.pi * f[:, None] * t_out / L      # [F, T]
-    idft = jnp.asarray(
-        np.concatenate(
-            [np.cos(i_ang) * wt[:, None] / L, -np.sin(i_ang) * wt[:, None] / L],
-            axis=0,
-        ),
-        jnp.float32,
+    idft_np = np.concatenate(
+        [np.cos(i_ang) * wt[:, None] / L, -np.sin(i_ang) * wt[:, None] / L],
+        axis=0,
     )
+    idft = jnp.asarray(idft_np, jnp.float32)
+    # Power matrix: fold the 3-tap bandpass (delay.py:bandpass_ma) into the
+    # inverse-DFT columns, in float64, then zero-pad the time axis to a lane
+    # multiple (zero columns add zero power) so the Pallas power kernel can
+    # tile it.
+    if dsp_cfg.use_bandpass:
+        pow_np = 0.5 * idft_np[:, 1:-1] - 0.25 * (idft_np[:, 2:] + idft_np[:, :-2])
+    else:
+        pow_np = idft_np
+    t_pad = (-pow_np.shape[1]) % 128
+    if t_pad:
+        pow_np = np.pad(pow_np, ((0, 0), (0, t_pad)))
+    pow_ri = jnp.asarray(pow_np, jnp.float32)
 
     dead = None
     n_active = float(points.shape[1])
@@ -299,30 +324,93 @@ def make_fft_heatmap_model(
             if getattr(mimo_cfg, "phat", False)
             else None
         ),
+        pow_ri=pow_ri,
+        power_path=power_path,
     )
 
 
-def fft_heatmap_powers(window, model: FftHeatmapModel):
-    """Heatmap powers [rows*columns] from a DAS window [C, S+T].
+def _pow_kernel(ar_ref, ai_ref, pc_ref, ps_ref, o_ref, *, precision):
+    """One direction tile of ``rowsum((a_re @ pc + a_im @ ps)^2)``.
 
-    Same semantics as the dense path (band-passed mean power over the
-    beamformed block, normalized by T * active channels) with exact
-    band-limited fractional delays.
+    The [tile_d, Tp] beam tile lives only in VMEM/registers; its
+    square-reduce never touches HBM.
     """
-    t = model.block_size
+    dn = (((1,), (0,)), ((), ()))
+    acc = jax.lax.dot_general(
+        ar_ref[...], pc_ref[...], dn,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    acc = acc + jax.lax.dot_general(
+        ai_ref[...], ps_ref[...], dn,
+        preferred_element_type=jnp.float32, precision=precision,
+    )                                                   # [tile_d, Tp] f32
+    p = jnp.sum(acc * acc, axis=1, keepdims=True)       # [tile_d, 1]
+    o_ref[...] = jnp.broadcast_to(p, o_ref.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_d", "interpret"))
+def power_matmul_pallas(a_re, a_im, pow_cos, pow_msin, *, tile_d: int = 256,
+                        interpret: bool = False):
+    """``powers[D] = sum_t (a_re @ pow_cos + a_im @ pow_msin)[d, t]^2``
+    without materializing the [D, T] beam in HBM.
+
+    a_re/a_im: [D, F] steered beam spectra planes, direction-major (row
+    tiles are contiguous DMAs), any float dtype — bf16 runs the MXU at full
+    rate with f32 accumulation.  pow_cos/pow_msin: [F, Tp] halves of the
+    bandpass-folded restricted inverse DFT, Tp a lane multiple.  D is
+    padded to ``tile_d`` internally.
+    """
+    d, f_half = a_re.shape
+    d_pad = (-d) % tile_d
+    if d_pad:
+        a_re = jnp.pad(a_re, ((0, d_pad), (0, 0)))
+        a_im = jnp.pad(a_im, ((0, d_pad), (0, 0)))
+    dp = d + d_pad
+    tp = pow_cos.shape[-1]
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if a_re.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    out = pl.pallas_call(
+        functools.partial(_pow_kernel, precision=precision),
+        grid=(dp // tile_d,),
+        in_specs=[
+            pl.BlockSpec((tile_d, f_half), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_d, f_half), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_half, tp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_half, tp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_d, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((dp, 8), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * dp * f_half * tp + 3 * dp * tp,
+            bytes_accessed=2 * dp * f_half * a_re.dtype.itemsize
+            + 2 * f_half * tp * pow_cos.dtype.itemsize + dp * 8 * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a_re, a_im, pow_cos.astype(a_re.dtype), pow_msin.astype(a_re.dtype))
+    return out[:d, 0]
+
+
+def _steered_spectra(window, model: FftHeatmapModel, mm):
+    """The separable steering stages.
+
+    Returns ``(b2_re, b2_im)`` each [Dy, Dx, F] — per-direction beam
+    spectra, direction-major so the final power/beam matmul's LHS tiles are
+    contiguous rows (an F-leading [2F, D] layout was measured ~1.5x slower
+    end-to-end on v5e: the MXU wants the contraction on the LHS minor axis,
+    and column tiles of a direction-minor array are strided DMAs).
+    """
     cx = model.ex[0].shape[-1]
     cy = model.ey[0].shape[-1]
     f_half = model.dft.shape[-1] // 2
-    if model.compute == "bfloat16":
-        dtype, prec = jnp.bfloat16, jax.lax.Precision.DEFAULT
-    else:
-        dtype, prec = jnp.float32, jax.lax.Precision.HIGHEST
-
-    def mm(sub, a, b):
-        return jnp.einsum(
-            sub, a.astype(dtype), b.astype(dtype),
-            precision=prec, preferred_element_type=jnp.float32,
-        )
 
     # Forward DFT, re|im in one matmul; permutation (if any) as a one-hot
     # matmul on the (smaller) spectrum.
@@ -380,12 +468,60 @@ def fft_heatmap_powers(window, model: FftHeatmapModel):
         b2_im = b2_im - (
             mm("fxn,fyn->yxf", t1_r, ydi) + mm("fxn,fyn->yxf", t1_i, ydr)
         )
-    b2_ri = jnp.concatenate([b2_re, b2_im], axis=-1)        # [Dy, Dx, 2F]
-    beam = mm("yxf,ft->yxt", b2_ri, model.idft)             # [Dy, Dx, T]
-    beam = beam.reshape(model.rows * model.columns, t)
-    powers = dl.das_power(
-        beam, use_bandpass=model.use_bandpass, divisor=t * model.n_active
-    )
+    return b2_re, b2_im
+
+
+def fft_heatmap_powers(window, model: FftHeatmapModel):
+    """Heatmap powers [rows*columns] from a DAS window [C, S+T].
+
+    Same semantics as the dense path (band-passed mean power over the
+    beamformed block, normalized by T * active channels) with exact
+    band-limited fractional delays.
+
+    ``model.power_path`` selects the final stage.  The default "fused"
+    contracts the steered spectra directly against the bandpass-folded
+    restricted inverse DFT (``model.pow_ri``) and square-reduces — the
+    [D, T] time-domain beam is never materialized (measured on v5e: the
+    beam + bandpass-power stages were 59 of 72 us/block).  "pallas" runs
+    that same contraction as one kernel whose square-reduce stays in VMEM.
+    "beam" reproduces the reference-shaped formulation (inverse DFT to a
+    [D, T] beam, then :func:`ops.delay.das_power`).
+    """
+    t = model.block_size
+    if model.compute == "bfloat16":
+        dtype, prec = jnp.bfloat16, jax.lax.Precision.DEFAULT
+    else:
+        dtype, prec = jnp.float32, jax.lax.Precision.HIGHEST
+
+    def mm(sub, a, b):
+        return jnp.einsum(
+            sub, a.astype(dtype), b.astype(dtype),
+            precision=prec, preferred_element_type=jnp.float32,
+        )
+
+    b2_re, b2_im = _steered_spectra(window, model, mm)      # [Dy, Dx, F] x2
+    d = model.rows * model.columns
+    f_half = model.dft.shape[-1] // 2
+    divisor = t * model.n_active
+    if model.power_path == "beam":
+        b2_ri = jnp.concatenate([b2_re, b2_im], axis=-1)    # [Dy, Dx, 2F]
+        beam = mm("yxf,ft->yxt", b2_ri, model.idft).reshape(d, t)
+        powers = dl.das_power(
+            beam, use_bandpass=model.use_bandpass, divisor=divisor
+        )
+    elif model.power_path == "pallas":
+        interpret = jax.default_backend() != "tpu"
+        powers = power_matmul_pallas(
+            b2_re.reshape(d, f_half).astype(dtype),
+            b2_im.reshape(d, f_half).astype(dtype),
+            model.pow_ri[:f_half],
+            model.pow_ri[f_half:],
+            interpret=interpret,
+        ) / divisor
+    else:  # "fused"
+        b2_ri = jnp.concatenate([b2_re, b2_im], axis=-1)    # [Dy, Dx, 2F]
+        bp = mm("yxf,ft->yxt", b2_ri, model.pow_ri)         # [Dy, Dx, Tp]
+        powers = jnp.sum(bp * bp, axis=-1).reshape(d) / divisor
     if model.src_map is not None:
         powers = powers[model.src_map]
     return powers

@@ -288,3 +288,49 @@ def test_awpu_step_fft_backend():
     assert pf.argmax() == pd.argmax()
     assert np.corrcoef(pf, pd)[0, 1] > 0.99
     jax.block_until_ready(of)
+
+
+def test_power_paths_agree():
+    # "fused" (default) and "pallas" contract the steered spectra straight
+    # against the bandpass-folded restricted inverse DFT; "beam" is the
+    # reference-shaped formulation.  All three are the same linear map —
+    # they must agree to float round-off on every configuration knob.
+    import dataclasses as dc
+
+    mimo = MimoConfig(rows=12, columns=12, fov_degrees=150.0)
+    pts = ant.create_antenna_grid(8, 8, 0.02)
+    mask = np.ones(64, np.float32)
+    mask[[5, 40]] = 0.0
+    rng = np.random.default_rng(7)
+    window = jnp.asarray(
+        rng.standard_normal((64, DCFG.shift_range + DCFG.block_size)),
+        jnp.float32,
+    )
+    cases = [
+        dict(),
+        dict(channel_mask=mask),
+        dict(compute="bfloat16"),
+    ]
+    dsps = [DCFG, dc.replace(DCFG, use_bandpass=False)]
+    mimos = [mimo, dc.replace(mimo, phat=True)]
+    for dsp in dsps:
+        for mcfg in mimos:
+            for kw in cases:
+                base = fd.make_fft_heatmap_model(
+                    pts, mcfg, dsp, ACFG, power_path="beam", **kw
+                )
+                got = {
+                    path: np.asarray(
+                        fd.fft_heatmap_powers(
+                            window, dc.replace(base, power_path=path)
+                        )
+                    )
+                    for path in ("beam", "fused", "pallas")
+                }
+                tol = 5e-3 if kw.get("compute") == "bfloat16" else 1e-4
+                np.testing.assert_allclose(
+                    got["fused"], got["beam"], rtol=tol, atol=1e-12
+                )
+                np.testing.assert_allclose(
+                    got["pallas"], got["fused"], rtol=tol, atol=1e-12
+                )
