@@ -58,3 +58,35 @@ def ring_window(
             f"history {h} too short for block {block_size} + shifts {shift_range}"
         )
     return jnp.asarray(history)[..., w0 : w0 + block_size + shift_range]
+
+
+def ring_windows(
+    history: RingState,
+    block_size: int,
+    shift_range: int,
+    taps: int,
+    chunk: int,
+) -> jnp.ndarray:
+    """[chunk, C, T + S] DAS windows for the last ``chunk`` pushed blocks.
+
+    Window ``j`` is exactly :func:`ring_window` as it would have been after
+    pushing block ``j`` of the chunk — chunked (throughput) processing of a
+    recorded or paced stream computes identical per-block outputs to
+    block-at-a-time streaming, with every downstream matmul batched
+    ``chunk``-wide (the deployment shape of the WAN-tunnel soak benchmark
+    and of faster-than-real-time replay).
+    """
+    h = history.shape[-1]
+    win = block_size + shift_range
+    w_last = block_start(h, block_size) - (shift_range - taps)
+    w0 = w_last - (chunk - 1) * block_size
+    if w0 < 0:
+        raise ValueError(
+            f"history {h} too short for {chunk} blocks of {block_size} "
+            f"+ shifts {shift_range}"
+        )
+    hist = jnp.asarray(history)
+    return jnp.stack(
+        [hist[..., w0 + j * block_size : w0 + j * block_size + win]
+         for j in range(chunk)]
+    )

@@ -151,8 +151,11 @@ class FftHeatmapModel:
     equivalent matmul on TPU.
     """
 
-    ex: tuple                   # (re, im) each [F, Dx, Cx]
-    ey: tuple                   # (re, im) each [F, Dy, Cy]
+    #: [F, Dx, 2Cx] = [cos | sin] of the x-axis steering phase — re and im
+    #: pre-stacked along the contracted axis so each steering stage is ONE
+    #: einsum over a doubled batch (see :func:`_steered_spectra`).
+    ex_s: jax.Array
+    ey_s: jax.Array             # [F, Dy, 2Cy], same layout
     dft: jax.Array              # [L, 2F] = [cos | -sin] forward DFT
     idft: jax.Array             # [2F, T] = [w cos / L ; -w sin / L] inverse
     perm_matrix: Optional[jax.Array]  # [C, C] one-hot site<-channel, or None
@@ -169,8 +172,10 @@ class FftHeatmapModel:
     band_weight: Optional[jax.Array] = None  # [F] per-bin weight (PHAT band)
     #: [2F, Tp] power matrix — the inverse DFT restricted to the block with
     #: the 3-tap bandpass folded into its columns (Tp = T-2 zero-padded to a
-    #: lane multiple), so block power is ``rowsum((b2s^T @ pow_ri)^2)`` and
-    #: the [D, T] beam never exists.  See :func:`fft_heatmap_powers`.
+    #: lane multiple) AND the power normalization ``1/sqrt(T * n_active)``
+    #: folded into its scale, so block power is exactly
+    #: ``rowsum((b2s^T @ pow_ri)^2)`` and the [D, T] beam never exists.
+    #: See :func:`fft_heatmap_powers`.
     pow_ri: Optional[jax.Array] = None
     #: Which final power stage to run: "fused" (default; frequency-side
     #: power matmul, XLA), "pallas" (same math, one Pallas kernel with the
@@ -178,6 +183,11 @@ class FftHeatmapModel:
     #: ops.delay.das_power — the reference formulation, kept for debugging
     #: and for consumers that want the beams themselves).
     power_path: str = "fused"
+    #: Set when the model was built with ``assume_lattice_order=True`` on a
+    #: non-trivially-permuted aperture: window row ``s`` must be channel
+    #: ``channel_perm[s]`` (callers reorder blocks host-side; ``None`` when
+    #: channel order already IS lattice order or no promise was made).
+    channel_perm: Optional[np.ndarray] = None
 
 
 def make_fft_heatmap_model(
@@ -189,9 +199,17 @@ def make_fft_heatmap_model(
     compute: Optional[str] = None,
     phat_band=(550.0, 9000.0),
     power_path: str = "fused",
+    assume_lattice_order: bool = False,
 ) -> Optional[FftHeatmapModel]:
     """Precompute the separable steering factors, or None if this
-    configuration does not factor (non-lattice points / gain masks)."""
+    configuration does not factor (non-lattice points / gain masks).
+
+    ``assume_lattice_order=True`` promises that window rows arrive already
+    in lattice-site order (row ``s`` = channel ``model.channel_perm[s]``) —
+    the per-block permutation matmul disappears.  Ingestion can provide
+    this ordering for free (a host-side row reorder of each block), which
+    saves a [C, C] x [C, 2F] matmul per block on clustered apertures.
+    """
     lat = lattice_factorization(points)
     if lat is None:
         return None
@@ -231,13 +249,13 @@ def make_fft_heatmap_model(
     ang_x = 2.0 * np.pi * f[:, None, None] * dx_shift[None] / L
     ang_y = 2.0 * np.pi * f[:, None, None] * dy_shift[None] / L
 
-    def _pair(a):
-        return (
-            jnp.asarray(np.cos(a), jnp.float32),
-            jnp.asarray(np.sin(a), jnp.float32),
+    def _stacked(a):
+        # [F, D_axis, 2C_axis] = [cos | sin] along the contracted axis.
+        return jnp.asarray(
+            np.concatenate([np.cos(a), np.sin(a)], axis=-1), jnp.float32
         )
 
-    ex, ey = _pair(ang_x), _pair(ang_y)
+    ex_s, ey_s = _stacked(ang_x), _stacked(ang_y)
 
     # Forward DFT (rfft) as one [L, 2F] cos|-sin matrix: X_ri = x @ dft.
     n_t = np.arange(L, dtype=np.float64)[:, None]
@@ -271,7 +289,6 @@ def make_fft_heatmap_model(
     t_pad = (-pow_np.shape[1]) % 128
     if t_pad:
         pow_np = np.pad(pow_np, ((0, 0), (0, t_pad)))
-    pow_ri = jnp.asarray(pow_np, jnp.float32)
 
     dead = None
     n_active = float(points.shape[1])
@@ -284,21 +301,31 @@ def make_fft_heatmap_model(
             site_of_chan[lat.perm] = np.arange(len(lat.perm))
             sites = site_of_chan[dead_chan]
             cxs, cys = sites % len(lat.x), sites // len(lat.x)
+            # Window row of each dead channel: the site row when the caller
+            # pre-permutes, the raw channel row otherwise.
+            dead_rows = sites if assume_lattice_order else dead_chan
             dead = (
                 jnp.asarray(np.cos(ang_x[:, :, cxs]), jnp.float32),
                 jnp.asarray(np.sin(ang_x[:, :, cxs]), jnp.float32),
                 jnp.asarray(np.cos(ang_y[:, :, cys]), jnp.float32),
                 jnp.asarray(np.sin(ang_y[:, :, cys]), jnp.float32),
-                jnp.asarray(dead_chan),
+                jnp.asarray(dead_rows),
             )
+    # Fold the power normalization into the (f32) power matrix once —
+    # powers = rowsum((b2s @ pow_ri)^2) with no epilogue divide.
+    pow_ri = jnp.asarray(pow_np / np.sqrt(t * max(n_active, 1.0)), jnp.float32)
     perm_matrix = None
-    if not np.array_equal(lat.perm, np.arange(len(lat.perm))):
+    channel_perm = None
+    identity_perm = np.array_equal(lat.perm, np.arange(len(lat.perm)))
+    if assume_lattice_order:
+        channel_perm = None if identity_perm else lat.perm.copy()
+    elif not identity_perm:
         pm = np.zeros((len(lat.perm), len(lat.perm)), np.float32)
         pm[np.arange(len(lat.perm)), lat.perm] = 1.0   # row site, col channel
         perm_matrix = jnp.asarray(pm)
     return FftHeatmapModel(
-        ex=ex,
-        ey=ey,
+        ex_s=ex_s,
+        ey_s=ey_s,
         dft=dft,
         idft=idft,
         perm_matrix=perm_matrix,
@@ -326,6 +353,7 @@ def make_fft_heatmap_model(
         ),
         pow_ri=pow_ri,
         power_path=power_path,
+        channel_perm=channel_perm,
     )
 
 
@@ -407,9 +435,14 @@ def _steered_spectra(window, model: FftHeatmapModel, mm):
     contiguous rows (an F-leading [2F, D] layout was measured ~1.5x slower
     end-to-end on v5e: the MXU wants the contraction on the LHS minor axis,
     and column tiles of a direction-minor array are strided DMAs).
+
+    Each complex contraction runs as ONE einsum: re and im of the steering
+    factor are pre-stacked along the contracted axis (``model.ex_s/ey_s``)
+    and the re/im *outputs* ride a doubled batch row — same FLOPs as two
+    einsums, half the dispatches.
     """
-    cx = model.ex[0].shape[-1]
-    cy = model.ey[0].shape[-1]
+    cx = model.ex_s.shape[-1] // 2
+    cy = model.ey_s.shape[-1] // 2
     f_half = model.dft.shape[-1] // 2
 
     # Forward DFT, re|im in one matmul; permutation (if any) as a one-hot
@@ -431,20 +464,26 @@ def _steered_spectra(window, model: FftHeatmapModel, mm):
             # filter envelope) — whitened out-of-band bins carry only noise.
             x_re = x_re * model.band_weight
             x_im = x_im * model.band_weight
-    exr, exi = model.ex
-    eyr, eyi = model.ey
-    # Complex contractions with re/im stacked along the contracted channel
-    # axis: one einsum per output plane instead of two plus a subtract.
-    ex_s = jnp.concatenate([exr, exi], axis=-1)             # [F, Dx, 2Cx]
-    x_for_re = jnp.concatenate([x_re, -x_im], axis=1)       # [Cy, 2Cx, F]
-    x_for_im = jnp.concatenate([x_im, x_re], axis=1)
-    b1_re = mm("fdc,ycf->dyf", ex_s, x_for_re)              # [Dx, Cy, F]
-    b1_im = mm("fdc,ycf->dyf", ex_s, x_for_im)
-    ey_s = jnp.concatenate([eyr, eyi], axis=-1)             # [F, Dy, 2Cy]
-    b1_for_re = jnp.concatenate([b1_re, -b1_im], axis=1)    # [Dx, 2Cy, F]
-    b1_for_im = jnp.concatenate([b1_im, b1_re], axis=1)
-    b2_re = mm("fdc,xcf->dxf", ey_s, b1_for_re)             # [Dy, Dx, F]
-    b2_im = mm("fdc,xcf->dxf", ey_s, b1_for_im)
+    # Rows [0:Cy] drive the re output, rows [Cy:2Cy] the im output.
+    x_for = jnp.concatenate(
+        [
+            jnp.concatenate([x_re, -x_im], axis=1),         # -> b1_re
+            jnp.concatenate([x_im, x_re], axis=1),          # -> b1_im
+        ],
+        axis=0,
+    )                                                       # [2Cy, 2Cx, F]
+    b1 = mm("fdc,ycf->dyf", model.ex_s, x_for)              # [Dx, 2Cy, F]
+    b1_re, b1_im = b1[:, :cy], b1[:, cy:]                   # [Dx, Cy, F]
+    b1_for = jnp.concatenate(
+        [
+            jnp.concatenate([b1_re, -b1_im], axis=1),       # -> b2_re
+            jnp.concatenate([b1_im, b1_re], axis=1),        # -> b2_im
+        ],
+        axis=0,
+    )                                                       # [2Dx, 2Cy, F]
+    dx = b1.shape[0]
+    b2s = mm("fdc,xcf->dxf", model.ey_s, b1_for)            # [Dy, 2Dx, F]
+    b2_re, b2_im = b2s[:, :dx], b2s[:, dx:]                 # [Dy, Dx, F]
     if model.dead is not None:
         xdr, xdi, ydr, ydi, chan = model.dead
         wd = window[chan]
@@ -502,14 +541,15 @@ def fft_heatmap_powers(window, model: FftHeatmapModel):
     b2_re, b2_im = _steered_spectra(window, model, mm)      # [Dy, Dx, F] x2
     d = model.rows * model.columns
     f_half = model.dft.shape[-1] // 2
-    divisor = t * model.n_active
     if model.power_path == "beam":
         b2_ri = jnp.concatenate([b2_re, b2_im], axis=-1)    # [Dy, Dx, 2F]
         beam = mm("yxf,ft->yxt", b2_ri, model.idft).reshape(d, t)
         powers = dl.das_power(
-            beam, use_bandpass=model.use_bandpass, divisor=divisor
+            beam, use_bandpass=model.use_bandpass, divisor=t * model.n_active
         )
     elif model.power_path == "pallas":
+        # pow_ri carries the 1/sqrt(T * n_active) normalization (see
+        # FftHeatmapModel) — no epilogue divide on either fast path.
         interpret = jax.default_backend() != "tpu"
         powers = power_matmul_pallas(
             b2_re.reshape(d, f_half).astype(dtype),
@@ -517,11 +557,11 @@ def fft_heatmap_powers(window, model: FftHeatmapModel):
             model.pow_ri[:f_half],
             model.pow_ri[f_half:],
             interpret=interpret,
-        ) / divisor
+        )
     else:  # "fused"
         b2_ri = jnp.concatenate([b2_re, b2_im], axis=-1)    # [Dy, Dx, 2F]
         bp = mm("yxf,ft->yxt", b2_ri, model.pow_ri)         # [Dy, Dx, Tp]
-        powers = jnp.sum(bp * bp, axis=-1).reshape(d) / divisor
+        powers = jnp.sum(bp * bp, axis=-1).reshape(d)
     if model.src_map is not None:
         powers = powers[model.src_map]
     return powers

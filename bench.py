@@ -61,6 +61,7 @@ N_MICS = 256
 GRID = 65
 BLOCK = 256
 SHIFT_RANGE = 64
+CHUNK = 8  # blocks per dispatch in the chunked-streaming variants
 # Pallas kernel tiles: tile_d=512, tile_c=32 measured fastest on v5e (the
 # X3D window re-read scales with D/tile_d; contraction = tile_c * S = 2048).
 TILE_D = 512
@@ -136,6 +137,30 @@ def make_scan(step_fn, taps):
     return scan_n
 
 
+def make_scan_chunked(step_fn, taps, chunk):
+    """Chunked streaming: each scan step pushes ``chunk`` blocks at once
+    ([C, chunk*T], pre-laid-out) and beamforms all of their windows as one
+    batched dispatch (``ring_windows``) — per-block outputs identical to
+    block-at-a-time streaming, matmuls ``chunk``x bigger.  This is the
+    deployment shape of the WAN-tunnel soak benchmark (16-block dispatch
+    chunks) and of faster-than-real-time replay.  ``n`` still counts
+    BLOCKS (must be a chunk multiple).
+    """
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def scan_n(history, big_blocks, n, *params):
+        def body(carry, i):
+            history = rg.ring_push(carry, big_blocks)
+            windows = rg.ring_windows(history, BLOCK, SHIFT_RANGE, taps, chunk)
+            powers = jax.vmap(lambda w: step_fn(w, *params))(windows)
+            return history, powers[-1]
+
+        history, powers = jax.lax.scan(body, history, jnp.arange(n // chunk))
+        return history, powers[-1]
+
+    return scan_n
+
+
 _RESULTS: dict = {}
 
 
@@ -183,9 +208,8 @@ def main():
     shift = jax.device_put(jnp.asarray(shift_p))
     tapw = jax.device_put(jnp.asarray(tapw_p))
     rng = np.random.default_rng(0)
-    blocks = jax.device_put(
-        jnp.asarray(rng.standard_normal((8, c, BLOCK)), jnp.float32)
-    )
+    blocks_np = rng.standard_normal((8, c, BLOCK)).astype(np.float32)
+    blocks = jax.device_put(jnp.asarray(blocks_np))
     history = jnp.zeros((c, dsp.history), jnp.float32)
 
     # Dense stencil built on device (~280 MB never crosses the tunnel).
@@ -232,23 +256,67 @@ def main():
     fft_bf16 = fd.make_fft_heatmap_model(
         np.asarray(points), mimo_cfg, dsp, arr, compute="bfloat16"
     )
+    # Lattice-ordered variant: ingestion reorders rows host-side (free), the
+    # per-block [C, C] permutation matmul disappears.
+    fft_bf16_lat = fd.make_fft_heatmap_model(
+        np.asarray(points), mimo_cfg, dsp, arr, compute="bfloat16",
+        assume_lattice_order=True,
+    )
+    lat_perm = fft_bf16_lat.channel_perm
 
+    # Chunked streaming (CHUNK blocks per dispatch, identical per-block
+    # outputs — see make_scan_chunked): longer history + chunk-major blocks.
+    chunk = CHUNK
+    hist_chunked = jnp.zeros(
+        (c, chunk * BLOCK + SHIFT_RANGE + rg.LOOKAHEAD_GUARD), jnp.float32
+    )
+
+    def chunk_layout(blks_np, perm=None):
+        b = blks_np if perm is None else blks_np[:, perm]
+        return jnp.asarray(
+            b.transpose(1, 0, 2).reshape(c, -1), jnp.float32
+        )
+
+    # Variant spec: fn, params, chunk (1 = block-at-a-time), channel perm
+    # applied to input blocks host-side (lattice-order models).
     variants = {
-        "dense_f32_highest": (dense_f32, (weights,)),
-        "dense_bf16": (dense_bf16, (weights_bf16,)),
-        "fft_f32": (lambda w: fd.fft_heatmap_powers(w, fft_f32), ()),
-        "fft_bf16": (lambda w: fd.fft_heatmap_powers(w, fft_bf16), ()),
+        "dense_f32_highest": dict(fn=dense_f32, params=(weights,)),
+        "dense_bf16": dict(fn=dense_bf16, params=(weights_bf16,)),
+        "fft_f32": dict(fn=lambda w: fd.fft_heatmap_powers(w, fft_f32), params=()),
+        "fft_bf16": dict(fn=lambda w: fd.fft_heatmap_powers(w, fft_bf16), params=()),
+        "fft_bf16_lat": dict(
+            fn=lambda w: fd.fft_heatmap_powers(w, fft_bf16_lat),
+            params=(), perm=lat_perm,
+        ),
+        "fft_bf16_x8": dict(
+            fn=lambda w: fd.fft_heatmap_powers(w, fft_bf16_lat),
+            params=(), perm=lat_perm, chunk=chunk,
+        ),
         # Pallas on-the-fly-stencil kernel (v3: precomputed unfold + in-VMEM
         # stencil build, ops/pallas_das.py).  Compiles clean on this Mosaic
         # toolchain (the roll/scratch-based v1/v2 designs hung it); bf16
         # runs the one-hot contraction at ~MXU roofline.  BENCH_NO_PALLAS=1
         # to skip.
-        "pallas_f32": (pallas_f32, (shift, tapw)),
-        "pallas_bf16": (pallas_bf16, (shift, tapw)),
+        "pallas_f32": dict(fn=pallas_f32, params=(shift, tapw)),
+        "pallas_bf16": dict(fn=pallas_bf16, params=(shift, tapw)),
     }
     if os.environ.get("BENCH_NO_PALLAS"):
         variants.pop("pallas_f32")
         variants.pop("pallas_bf16")
+    def build_scan(spec):
+        """(scan_n, history, noise-blocks input) for a variant spec."""
+        ck = spec.get("chunk", 1)
+        perm = spec.get("perm")
+        if ck == 1:
+            blk = (
+                blocks
+                if perm is None
+                else jax.device_put(jnp.asarray(blocks_np[:, perm]))
+            )
+            return make_scan(spec["fn"], dl.LINEAR_TAPS), history, blk
+        scan_n = make_scan_chunked(spec["fn"], dl.LINEAR_TAPS, ck)
+        return scan_n, hist_chunked, jax.device_put(chunk_layout(blocks_np, perm))
+
     results = _RESULTS
     ref_powers = None
     # The remote-device tunnel can fail transiently (observed: every op
@@ -264,12 +332,13 @@ def main():
             )
             time.sleep(90)
         failed = {}
-        for name, (fn, params) in pending.items():
+        for name, spec in pending.items():
+            params = spec["params"]
             try:
-                scan_n = make_scan(fn, dl.LINEAR_TAPS)
-                rate = timed_rate(scan_n, history, blocks, params)
+                scan_n, hist0, blk = build_scan(spec)
+                rate = timed_rate(scan_n, hist0, blk, params)
                 results[name] = rate
-                _, p = scan_n(history, blocks, 8, *params)
+                _, p = scan_n(hist0, blk, 8, *params)
                 p = np.asarray(p, np.float64)
                 if ref_powers is None:
                     ref_powers = p
@@ -286,7 +355,7 @@ def main():
                 )
             except Exception as e:  # keep the bench robust if a variant breaks
                 print(f"# {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
-                failed[name] = (fn, params)
+                failed[name] = spec
         pending = failed
         if not pending:
             break
@@ -303,13 +372,31 @@ def main():
             plane_wave_block(points, [src], i * BLOCK, BLOCK, arr,
                              noise_std=0.0)
             for i in range(8)
-        ])
-        pw_blocks = jax.device_put(jnp.asarray(pw, jnp.float32))
+        ]).astype(np.float32)
+        pw_dev: dict = {}
+
+        def pw_input(spec):
+            ck, perm = spec.get("chunk", 1), spec.get("perm")
+            key = (ck, perm is not None)
+            if key not in pw_dev:
+                pw_dev[key] = jax.device_put(
+                    jnp.asarray(pw if perm is None else pw[:, perm])
+                    if ck == 1
+                    else chunk_layout(pw, perm)
+                )
+            return pw_dev[key]
+
         cos_src = None
         for name in list(results):
-            fn, params = variants[name]
-            scan_n = make_scan(fn, dl.LINEAR_TAPS)
-            _, p = scan_n(history, pw_blocks, 8, *params)
+            spec = variants[name]
+            params = spec["params"]
+            ck = spec.get("chunk", 1)
+            if ck == 1:
+                scan_n = make_scan(spec["fn"], dl.LINEAR_TAPS)
+                _, p = scan_n(history, pw_input(spec), 8, *params)
+            else:
+                scan_n = make_scan_chunked(spec["fn"], dl.LINEAR_TAPS, ck)
+                _, p = scan_n(hist_chunked, pw_input(spec), 8, *params)
             p = np.asarray(p, np.float64)
             k = int(np.argmax(p))
             cos_ang = (

@@ -100,8 +100,8 @@ def main():
         return jnp.einsum(sub, a.astype(dtype), b.astype(dtype),
                           precision=prec, preferred_element_type=jnp.float32)
 
-    cx = model.ex[0].shape[-1]
-    cy = model.ey[0].shape[-1]
+    cx = model.ex_s.shape[-1] // 2
+    cy = model.ey_s.shape[-1] // 2
     f_half = model.dft.shape[-1] // 2
 
     def stage_x(window):
@@ -113,23 +113,20 @@ def main():
 
     def stage_b1(window):
         x_re, x_im = stage_x(window)
-        exr, exi = model.ex
-        ex_s = jnp.concatenate([exr, exi], axis=-1)
-        x_for_re = jnp.concatenate([x_re, -x_im], axis=1)
-        x_for_im = jnp.concatenate([x_im, x_re], axis=1)
-        b1_re = mm_("fdc,ycf->dyf", ex_s, x_for_re)
-        b1_im = mm_("fdc,ycf->dyf", ex_s, x_for_im)
-        return b1_re, b1_im
+        x_for = jnp.concatenate(
+            [jnp.concatenate([x_re, -x_im], axis=1),
+             jnp.concatenate([x_im, x_re], axis=1)], axis=0)
+        b1 = mm_("fdc,ycf->dyf", model.ex_s, x_for)
+        return b1[:, :cy], b1[:, cy:]
 
     def stage_b2(window):
         b1_re, b1_im = stage_b1(window)
-        eyr, eyi = model.ey
-        ey_s = jnp.concatenate([eyr, eyi], axis=-1)
-        b1_for_re = jnp.concatenate([b1_re, -b1_im], axis=1)
-        b1_for_im = jnp.concatenate([b1_im, b1_re], axis=1)
-        b2_re = mm_("fdc,xcf->dxf", ey_s, b1_for_re)
-        b2_im = mm_("fdc,xcf->dxf", ey_s, b1_for_im)
-        return b2_re, b2_im
+        b1_for = jnp.concatenate(
+            [jnp.concatenate([b1_re, -b1_im], axis=1),
+             jnp.concatenate([b1_im, b1_re], axis=1)], axis=0)
+        dx = b1_re.shape[0]
+        b2s = mm_("fdc,xcf->dxf", model.ey_s, b1_for)
+        return b2s[:, :dx], b2s[:, dx:]
 
     def stage_beam(window):
         b2_re, b2_im = stage_b2(window)

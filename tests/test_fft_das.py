@@ -334,3 +334,27 @@ def test_power_paths_agree():
                 np.testing.assert_allclose(
                     got["pallas"], got["fused"], rtol=tol, atol=1e-12
                 )
+
+
+def test_lattice_order_model_skips_perm_matmul():
+    # assume_lattice_order: identical powers from a pre-permuted window,
+    # with no per-block permutation matmul — including dead channels.
+    mimo = MimoConfig(rows=10, columns=10, fov_degrees=120.0)
+    pts = ant.multi_array_cluster(256, 8, 8, 0.02)
+    mask = np.ones(256, np.float32)
+    mask[[5, 130]] = 0.0
+    base = fd.make_fft_heatmap_model(pts, mimo, DCFG, ACFG, channel_mask=mask)
+    fast = fd.make_fft_heatmap_model(
+        pts, mimo, DCFG, ACFG, channel_mask=mask, assume_lattice_order=True
+    )
+    assert base.perm_matrix is not None
+    assert fast.perm_matrix is None and fast.channel_perm is not None
+    rng = np.random.default_rng(7)
+    window = rng.standard_normal(
+        (256, DCFG.shift_range + DCFG.block_size)
+    ).astype(np.float32)
+    p_base = np.asarray(fd.fft_heatmap_powers(jnp.asarray(window), base))
+    p_fast = np.asarray(
+        fd.fft_heatmap_powers(jnp.asarray(window[fast.channel_perm]), fast)
+    )
+    np.testing.assert_allclose(p_fast, p_base, rtol=1e-5, atol=1e-12)

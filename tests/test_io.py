@@ -245,3 +245,27 @@ def test_native_ingest_overrun_accounting():
             seqs.append(seq)
             np.testing.assert_allclose(block, blocks[seq], atol=1.0 / 2**23)
         assert seqs == sorted(seqs) and seqs[-1] == 7
+
+
+def test_ring_windows_chunk_matches_streaming():
+    import jax.numpy as jnp
+
+    from beamforming_lk_tpu.io import ring as rg
+
+    c, t, s, taps, chunk = 3, 16, 8, 2, 4
+    hist = rg.ring_init(c, s + chunk * t + rg.LOOKAHEAD_GUARD)
+    rng = np.random.default_rng(11)
+    blocks = rng.standard_normal((chunk, c, t)).astype(np.float32)
+
+    # Streaming: push one block at a time, window after each push.
+    stream_hist = rg.ring_init(c, hist.shape[-1])
+    want = []
+    for b in blocks:
+        stream_hist = rg.ring_push(stream_hist, jnp.asarray(b))
+        want.append(np.asarray(rg.ring_window(stream_hist, t, s, taps)))
+
+    # Chunked: push all blocks at once, batched windows.
+    big = jnp.asarray(blocks.transpose(1, 0, 2).reshape(c, chunk * t))
+    hist = rg.ring_push(hist, big)
+    got = np.asarray(rg.ring_windows(hist, t, s, taps, chunk))
+    np.testing.assert_array_equal(got, np.stack(want))
