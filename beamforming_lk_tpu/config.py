@@ -97,6 +97,12 @@ class MimoConfig:
     # standard robust localization weighting for reverberant/colored
     # environments.  Capability beyond the reference; fft backend only.
     phat: bool = False
+    # Chunked streaming for heatmap-only pipelines (tracker and MISO off):
+    # AwpuPipeline.process_blocks beamforms this many blocks' windows per
+    # dispatch — bit-identical per-block powers, matmuls chunk-x bigger
+    # (~2x throughput measured on v5e at chunk 8; the faster-than-real-time
+    # replay shape).  <= 1 disables.
+    heatmap_chunk: int = 0
 
     @property
     def n_directions(self) -> int:

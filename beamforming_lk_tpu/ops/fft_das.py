@@ -531,6 +531,18 @@ def fft_heatmap_powers(window, model: FftHeatmapModel):
         dtype, prec = jnp.bfloat16, jax.lax.Precision.DEFAULT
     else:
         dtype, prec = jnp.float32, jax.lax.Precision.HIGHEST
+    # Intermediate steering stages write their outputs in the compute dtype
+    # (the next matmul casts there anyway — identical values, half the HBM
+    # traffic for the [D, F] spectra planes); PHAT whitening wants f32
+    # magnitudes, so keep f32 intermediates in that mode.  The final power/
+    # beam contraction always accumulates AND stores f32.
+    mid_dtype = jnp.float32 if model.phat else dtype
+
+    def mm_mid(sub, a, b):
+        return jnp.einsum(
+            sub, a.astype(dtype), b.astype(dtype),
+            precision=prec, preferred_element_type=mid_dtype,
+        )
 
     def mm(sub, a, b):
         return jnp.einsum(
@@ -538,7 +550,7 @@ def fft_heatmap_powers(window, model: FftHeatmapModel):
             precision=prec, preferred_element_type=jnp.float32,
         )
 
-    b2_re, b2_im = _steered_spectra(window, model, mm)      # [Dy, Dx, F] x2
+    b2_re, b2_im = _steered_spectra(window, model, mm_mid)  # [Dy, Dx, F] x2
     d = model.rows * model.columns
     f_half = model.dft.shape[-1] // 2
     if model.power_path == "beam":

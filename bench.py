@@ -103,7 +103,9 @@ def timed_rate(step_scan, history, blocks, params, n_small=8, n_large=72,
     t_small = min(run(n_small) for _ in range(2))
     t_large = min(run(n_large) for _ in range(2))
     dt = max(t_large - t_small, 1e-9)
-    rate = (n_large - n_small) / dt
+    # Clamp the first estimate: when the span is smaller than dispatch
+    # jitter, dt can be ~0 and the raw rate absurd (then n_big overflows).
+    rate = min((n_large - n_small) / dt, 3e5)
     if dt < target_dt / 2:
         n_big = n_small + int(np.ceil(rate * target_dt / 8.0)) * 8
         t_big = min(run(n_big) for _ in range(3))  # one extra compile

@@ -60,7 +60,25 @@ def timed_rate(step_scan, history, blocks, n_small=8, target_dt=0.7):
     return (n_big - n_small) / dt
 
 
+CHUNK = int(os.environ.get("PROFILE_CHUNK", "0"))
+
+
 def make_scan(step_fn):
+    if CHUNK > 1:
+        # Chunked-streaming shape (bench.py make_scan_chunked): batched
+        # windows, vmapped stage — n still counts blocks.
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def scan_chunked(history, big_blocks, n):
+            def body(carry, i):
+                hist = rg.ring_push(carry, big_blocks)
+                wins = rg.ring_windows(hist, BLOCK, SHIFT, dl.LINEAR_TAPS, CHUNK)
+                out = jax.vmap(step_fn)(wins)
+                return hist, jax.tree.map(lambda x: x[-1], out)
+
+            return jax.lax.scan(body, history, jnp.arange(n // CHUNK))
+
+        return scan_chunked
+
     @functools.partial(jax.jit, static_argnums=(2,))
     def scan_n(history, blocks, n):
         k = blocks.shape[0]
@@ -88,8 +106,20 @@ def main():
     assert model is not None
     c = points.shape[1]
     rng = np.random.default_rng(0)
-    blocks = jax.device_put(jnp.asarray(rng.standard_normal((8, c, BLOCK)), jnp.float32))
-    history = jnp.zeros((c, dsp.history), jnp.float32)
+    blocks_np = rng.standard_normal((8, c, BLOCK)).astype(np.float32)
+    if CHUNK > 1:
+        reps = -(-CHUNK // 8)
+        tiled = np.tile(blocks_np, (reps, 1, 1))[:CHUNK]
+        blocks = jax.device_put(
+            jnp.asarray(tiled.transpose(1, 0, 2).reshape(c, -1))
+        )
+        history = jnp.zeros(
+            (c, CHUNK * BLOCK + SHIFT + rg.LOOKAHEAD_GUARD), jnp.float32
+        )
+        print(f"chunked mode: CHUNK={CHUNK}", flush=True)
+    else:
+        blocks = jax.device_put(jnp.asarray(blocks_np))
+        history = jnp.zeros((c, dsp.history), jnp.float32)
 
     if model.compute == "bfloat16":
         dtype, prec = jnp.bfloat16, jax.lax.Precision.DEFAULT

@@ -244,3 +244,45 @@ def test_fft_backend_falls_back_to_dense_under_channel_sharding(capsys):
         np.asarray(fb_out.powers), np.asarray(dense_out.powers),
         rtol=2e-4, atol=1e-14,
     )
+
+
+def test_heatmap_chunked_scan_matches_per_block():
+    # Heatmap-only chunked streaming (MimoConfig.heatmap_chunk): identical
+    # per-block powers and EMA maxima to block-at-a-time processing, for
+    # both backends.
+    import dataclasses
+
+    from beamforming_lk_tpu.io.synthetic import plane_wave_block
+
+    for backend in ("dense", "fft"):
+        cfg = Config(
+            mimo=MimoConfig(rows=8, columns=8, backend=backend),
+            dsp=DspConfig(block_size=64, shift_range=32, history=256),
+        )
+        cfg_ck = dataclasses.replace(
+            cfg, mimo=dataclasses.replace(cfg.mimo, heatmap_chunk=4)
+        )
+        pts = ant.create_antenna_grid(8, 8, 0.02)
+        src = [(0.4, 1.0, 5000.0)]
+        blocks = np.stack([
+            plane_wave_block(pts, src, i * 64, 64, cfg.array, noise_std=0.01)
+            for i in range(8)
+        ]).astype(np.float32)
+
+        kw = dict(enable_tracker=False, enable_miso=False)
+        a = AwpuPipeline(cfg, points=pts, **kw)
+        b = AwpuPipeline(cfg_ck, points=pts, **kw)
+        out_a = a.process_blocks(blocks)
+        out_b = b.process_blocks(blocks)
+        np.testing.assert_allclose(
+            np.asarray(out_b.powers), np.asarray(out_a.powers),
+            rtol=2e-5, atol=1e-12, err_msg=backend,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_b.prev_max), np.asarray(out_a.prev_max),
+            rtol=2e-5, err_msg=backend,
+        )
+        np.testing.assert_allclose(
+            np.asarray(b.state.prev_max), np.asarray(a.state.prev_max),
+            rtol=2e-5, err_msg=backend,
+        )
