@@ -308,9 +308,9 @@ def make_awpu_step(
             if fft_model is not None:
                 from beamforming_lk_tpu.ops import fft_das as fd
 
-                powers = jax.vmap(
-                    lambda w: fd.fft_heatmap_powers(w, fft_model)
-                )(windows)                                    # [ck, D]
+                powers = fd.fft_heatmap_powers_chunked(
+                    windows, fft_model
+                )                                             # [ck, D]
             else:
                 w = mimo_w if mask is None else mimo_w * mask[:, None]
                 if dsp.compute == "bfloat16":

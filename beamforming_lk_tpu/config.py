@@ -143,6 +143,12 @@ class TrackerConfig:
     # trackers through; 0.1 cuts them while keeping real sources within
     # 10 dB.  Set 0.0 for exact reference behavior.
     min_power_fraction: float = 0.1
+    # Monopulse sub-step chain backend for the fused step: "xla" (portable;
+    # works sharded / FIR / horizontal probes) or "pallas" (one TPU kernel
+    # per swarm iteration, ~2x faster per round — ops/pallas_tracker.py;
+    # requires linear interp + quadrant probes + unsharded channels, falls
+    # back to "xla" otherwise; runs interpreted off-TPU).
+    probe_kernel: str = "xla"
 
     @property
     def theta_limit(self) -> float:
@@ -201,11 +207,16 @@ class Config:
         gradient_ascend.cpp:315) — ~3x the default profile's fused-step
         throughput with validated tracking quality.  Defaults stay on the
         f32/dense/10-iteration parity profile."""
+        import jax  # lazy: config stays importable without a backend
+
+        probe_kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
         return dataclasses.replace(
             self,
             dsp=dataclasses.replace(
                 self.dsp, compute="bfloat16", probe_compute="bfloat16"
             ),
             mimo=dataclasses.replace(self.mimo, backend="fft"),
-            tracker=dataclasses.replace(self.tracker, iterations=2),
+            tracker=dataclasses.replace(
+                self.tracker, iterations=2, probe_kernel=probe_kernel
+            ),
         )

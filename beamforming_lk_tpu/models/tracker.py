@@ -315,6 +315,12 @@ def make_swarm_step_impl(
         if probe_span is None
         else min(probe_span, dsp.shift_range)
     )
+    use_pallas_chain = (
+        cfg.probe_kernel == "pallas"
+        and dsp.interp == "linear"
+        and cfg.probe_layout == "quadrant"
+        and axis_name is None
+    )
 
     t_len = dsp.block_size
 
@@ -333,6 +339,43 @@ def make_swarm_step_impl(
         mono = functools.partial(
             base_mono, points=points, channel_mask=channel_mask, unfolded=unf
         )
+        if use_pallas_chain:
+            from beamforming_lk_tpu.ops import pallas_tracker as ptk
+
+            mask_row = (
+                jnp.ones((1, points.shape[1]), jnp.float32)
+                if channel_mask is None
+                else channel_mask.reshape(1, -1).astype(jnp.float32)
+            )
+            xyz = jnp.concatenate([points * spm, mask_row], axis=0)
+            unf_dtype = unf.dtype
+            win_bp = ptk.fold_bandpass_window(
+                unf.astype(jnp.float32)
+            ).astype(unf_dtype)
+            interpret = jax.default_backend() != "tpu"
+
+            def tracker_chain(trackers, tracking):
+                """The tracker_steps sub-step chain as one kernel call
+                (ops/pallas_tracker.py) — same schedule as the lax.scan of
+                mono() below, trackers only."""
+                act = jnp.broadcast_to(
+                    tracking, (cfg.tracker_steps, cfg.n_trackers)
+                )
+                th, ph, gt, gp, rad, err = ptk.monopulse_chain_pallas(
+                    xyz, win_bp, trackers.theta, trackers.phi,
+                    jnp.full((cfg.n_trackers,),
+                             cfg.tracker_step_gain * cfg.tracker_spread,
+                             jnp.float32),
+                    jnp.full((cfg.n_trackers,), cfg.tracker_spread,
+                             jnp.float32),
+                    act,
+                    state0=(trackers.grad_theta, trackers.grad_phi,
+                            trackers.radius, trackers.error),
+                    span=span_eff, theta_limit=cfg.theta_limit,
+                    divisor=float(t_len), interpret=interpret,
+                )
+                return Particles(th, ph, gt, gp, rad, err)
+
         # --- Reference power: bandpass power of channel 0's raw block
         # (gradient_ascend.cpp:304-313). The beamformed block sits at window
         # offset (S - taps).  Under channel sharding, global channel 0 lives
@@ -361,18 +404,21 @@ def make_swarm_step_impl(
 
             # Trackers: trackerSteps sub-steps at slowed rate
             # (gradient_ascend.cpp:323-330).
-            def tracker_substep(tr, _):
-                tr = mono(
-                    tr,
-                    tracking,
-                    rate=cfg.tracker_step_gain * cfg.tracker_spread,
-                    spread=cfg.tracker_spread,
-                )
-                return tr, None
+            if use_pallas_chain:
+                trackers = tracker_chain(trackers, tracking)
+            else:
+                def tracker_substep(tr, _):
+                    tr = mono(
+                        tr,
+                        tracking,
+                        rate=cfg.tracker_step_gain * cfg.tracker_spread,
+                        spread=cfg.tracker_spread,
+                    )
+                    return tr, None
 
-            trackers, _ = jax.lax.scan(
-                tracker_substep, trackers, None, length=cfg.tracker_steps
-            )
+                trackers, _ = jax.lax.scan(
+                    tracker_substep, trackers, None, length=cfg.tracker_steps
+                )
             n_tracking = jnp.sum(tracking)
 
             # Merge close trackers (oldest wins).
@@ -550,6 +596,17 @@ def make_fused_step_impl(
     tracker_rate = cfg.tracker_step_gain * cfg.tracker_spread
     seeker_rate = cfg.seeker_step_gain * cfg.seeker_spread
     miso_rate = tracker_rate / 3.0                       # miso.cpp:39-40
+    # Monopulse chain backend: the Pallas kernel runs a whole iteration's
+    # sub-step chain as ONE TPU program (~2x faster per round,
+    # ops/pallas_tracker.py); it covers the deployment configuration and
+    # falls back to the XLA chain otherwise (sharded channels, FIR interp,
+    # horizontal probes).
+    use_pallas_chain = (
+        cfg.probe_kernel == "pallas"
+        and dsp.interp == "linear"
+        and cfg.probe_layout == "quadrant"
+        and axis_name is None
+    )
     # Per-particle dynamics for the two mixed-family dispatch shapes.
     rates_tsm = jnp.asarray(
         [tracker_rate] * nt + [seeker_rate] * ns + [miso_rate], jnp.float32
@@ -600,6 +657,20 @@ def make_fused_step_impl(
         mono = functools.partial(
             base_mono, points=points, channel_mask=channel_mask, unfolded=unf
         )
+        if use_pallas_chain:
+            from beamforming_lk_tpu.ops import pallas_tracker as ptk
+
+            mask_row = (
+                jnp.ones((1, points.shape[1]), jnp.float32)
+                if channel_mask is None
+                else channel_mask.reshape(1, -1).astype(jnp.float32)
+            )
+            xyz = jnp.concatenate([points * spm, mask_row], axis=0)
+            # Fold the bandpass in f32, then drop to the probe compute
+            # dtype (matches the XLA chain's f32-accumulate-then-bandpass
+            # to bf16-rounding order as closely as possible).
+            win_bp = ptk.fold_bandpass_window(unf_f32).astype(unf.dtype)
+            interpret = jax.default_backend() != "tpu"
 
         # --- Seeker reset (gradient_ascend.cpp:295-299).
         key, sub = jax.random.split(state.key)
@@ -611,9 +682,45 @@ def make_fused_step_impl(
         )
         tracking, start, mean = state.tracking, state.start, state.mean
 
-        def iteration(carry, it_idx):
-            trackers, seekers, miso_p, tracking, start, mean, key = carry
+        def pallas_chain(trackers, seekers, miso_p, tracking, it_idx):
+            """One iteration's whole sub-step chain as one kernel call.
 
+            Per-sub-step row masks reproduce the XLA chain's group
+            schedule exactly: trackers step every sub-step (gated by
+            ``tracking``), seekers only on sub-step 0, the MISO listener
+            while its refine budget (global slot index) lasts.
+            """
+            from beamforming_lk_tpu.ops import pallas_tracker as ptk
+
+            comb = concat_p(trackers, seekers, miso_p)
+            j_idx = jnp.arange(cfg.tracker_steps)
+            slots = it_idx * cfg.tracker_steps + j_idx
+            act = jnp.concatenate(
+                [
+                    jnp.broadcast_to(tracking, (cfg.tracker_steps, nt)),
+                    jnp.broadcast_to(
+                        (j_idx == 0)[:, None], (cfg.tracker_steps, ns)
+                    ),
+                    (slots < miso_refine_steps)[:, None],
+                ],
+                axis=1,
+            )
+            th, ph, gt, gp, rad, err = ptk.monopulse_chain_pallas(
+                xyz, win_bp, comb.theta, comb.phi, rates_tsm, spreads_tsm,
+                act,
+                state0=(comb.grad_theta, comb.grad_phi, comb.radius,
+                        comb.error),
+                span=span_eff, theta_limit=cfg.theta_limit,
+                divisor=float(t_len), interpret=interpret,
+            )
+            comb = Particles(th, ph, gt, gp, rad, err)
+            return (
+                jax.tree.map(lambda x: x[:nt], comb),
+                jax.tree.map(lambda x: x[nt:nt + ns], comb),
+                jax.tree.map(lambda x: x[nt + ns:], comb),
+            )
+
+        def xla_chain(trackers, seekers, miso_p, tracking, it_idx):
             # Sub-step chain: group composition is static per sub-step
             # index, so unroll in Python — every dispatch carries exactly
             # the rows that need stepping (plus the 1 miso row, masked off
@@ -645,6 +752,15 @@ def make_fused_step_impl(
                         trackers, tracking,
                         rate=tracker_rate, spread=cfg.tracker_spread,
                     )
+            return trackers, seekers, miso_p
+
+        chain = pallas_chain if use_pallas_chain else xla_chain
+
+        def iteration(carry, it_idx):
+            trackers, seekers, miso_p, tracking, start, mean, key = carry
+            trackers, seekers, miso_p = chain(
+                trackers, seekers, miso_p, tracking, it_idx
+            )
             n_tracking = jnp.sum(tracking)
 
             # Merge close trackers (oldest wins).

@@ -510,6 +510,72 @@ def _steered_spectra(window, model: FftHeatmapModel, mm):
     return b2_re, b2_im
 
 
+def _mm_builders(model: FftHeatmapModel):
+    """(mm_mid, mm_f32, compute_dtype) einsum helpers for this model.
+
+    Intermediate steering stages write their outputs in the compute dtype
+    (the next matmul casts there anyway — identical values, half the HBM
+    traffic for the [D, F] spectra planes); PHAT whitening wants f32
+    magnitudes, so f32 intermediates in that mode.  The final power/beam
+    contraction always accumulates AND stores f32.
+    """
+    if model.compute == "bfloat16":
+        dtype, prec = jnp.bfloat16, jax.lax.Precision.DEFAULT
+    else:
+        dtype, prec = jnp.float32, jax.lax.Precision.HIGHEST
+    mid_dtype = jnp.float32 if model.phat else dtype
+
+    def mm_mid(sub, a, b):
+        return jnp.einsum(
+            sub, a.astype(dtype), b.astype(dtype),
+            precision=prec, preferred_element_type=mid_dtype,
+        )
+
+    def mm(sub, a, b):
+        return jnp.einsum(
+            sub, a.astype(dtype), b.astype(dtype),
+            precision=prec, preferred_element_type=jnp.float32,
+        )
+
+    return mm_mid, mm, dtype
+
+
+def fft_heatmap_powers_chunked(windows, model: FftHeatmapModel):
+    """[chunk, D] heatmap powers from [chunk, C, S+T] stacked windows.
+
+    Chunked-streaming form of :func:`fft_heatmap_powers`: the separable
+    steering stages run vmapped (their per-bin matmuls gain a chunk-wide
+    batch), and the dominant power stage runs ONCE over all ``chunk * D``
+    direction rows — with ``model.power_path == "pallas"`` that is a single
+    :func:`power_matmul_pallas` call whose [rows, Tp] beam tile never
+    leaves VMEM (measured on v5e: the same kernel under per-window ``vmap``
+    pays ~3x in prep/lifting glue).
+    """
+    mm_mid, mm, dtype = _mm_builders(model)
+    b2_re, b2_im = jax.vmap(
+        lambda w: _steered_spectra(w, model, mm_mid)
+    )(windows)                                              # [ck, Dy, Dx, F]
+    ck = windows.shape[0]
+    d = model.rows * model.columns
+    f_half = model.dft.shape[-1] // 2
+    if model.power_path == "pallas":
+        interpret = jax.default_backend() != "tpu"
+        powers = power_matmul_pallas(
+            b2_re.reshape(ck * d, f_half).astype(dtype),
+            b2_im.reshape(ck * d, f_half).astype(dtype),
+            model.pow_ri[:f_half],
+            model.pow_ri[f_half:],
+            interpret=interpret,
+        ).reshape(ck, d)
+    else:
+        b2_ri = jnp.concatenate([b2_re, b2_im], axis=-1)    # [ck, Dy, Dx, 2F]
+        bp = mm("byxf,ft->byxt", b2_ri, model.pow_ri)
+        powers = jnp.sum(bp * bp, axis=-1).reshape(ck, d)
+    if model.src_map is not None:
+        powers = powers[:, model.src_map]
+    return powers
+
+
 def fft_heatmap_powers(window, model: FftHeatmapModel):
     """Heatmap powers [rows*columns] from a DAS window [C, S+T].
 
@@ -527,29 +593,7 @@ def fft_heatmap_powers(window, model: FftHeatmapModel):
     [D, T] beam, then :func:`ops.delay.das_power`).
     """
     t = model.block_size
-    if model.compute == "bfloat16":
-        dtype, prec = jnp.bfloat16, jax.lax.Precision.DEFAULT
-    else:
-        dtype, prec = jnp.float32, jax.lax.Precision.HIGHEST
-    # Intermediate steering stages write their outputs in the compute dtype
-    # (the next matmul casts there anyway — identical values, half the HBM
-    # traffic for the [D, F] spectra planes); PHAT whitening wants f32
-    # magnitudes, so keep f32 intermediates in that mode.  The final power/
-    # beam contraction always accumulates AND stores f32.
-    mid_dtype = jnp.float32 if model.phat else dtype
-
-    def mm_mid(sub, a, b):
-        return jnp.einsum(
-            sub, a.astype(dtype), b.astype(dtype),
-            precision=prec, preferred_element_type=mid_dtype,
-        )
-
-    def mm(sub, a, b):
-        return jnp.einsum(
-            sub, a.astype(dtype), b.astype(dtype),
-            precision=prec, preferred_element_type=jnp.float32,
-        )
-
+    mm_mid, mm, dtype = _mm_builders(model)
     b2_re, b2_im = _steered_spectra(window, model, mm_mid)  # [Dy, Dx, F] x2
     d = model.rows * model.columns
     f_half = model.dft.shape[-1] // 2

@@ -1,0 +1,288 @@
+"""Monopulse sub-step chain as ONE Pallas TPU kernel.
+
+The gradient tracker's hot loop is a *sequential* chain of monopulse steps
+(``src/dsp/gradient_ascend.cpp:301-409``: 5 tracker sub-steps per iteration,
+each beamforming 4 probes and nudging the particle).  The XLA lowering of
+one step (``models/tracker.py::_monopulse_step``) is ~7 us/round on v5e —
+all kernel-launch floor: the actual math is a [P, C*span] x [C*span, T]
+matmul plus elementwise trig.  This kernel runs the whole chain of
+``n_sub`` dependent sub-steps inside one ``pallas_call``: particle state
+lives in registers/VMEM across rounds, the bandpass-folded probe window
+stays VMEM-resident, and each round is ONE [4P, C*span] MXU dot (all four
+probes batched into the M dimension) plus VPU trig.
+
+Exact math parity with ``_monopulse_step`` (quadrant layout, linear
+interp), step for step:
+
+  probes   ``ops.geometry.quadrant_probes``  (Rz(phi) @ Ry(rt) rotation of
+           4 ring points at inclination ``spread``; FoV-edge back-off)
+  steering ``ops.antenna.steering_delays``    (u = (st*cos, -st*sin, ct),
+           min-subtracted) — expressed WITHOUT acos/atan2 (Mosaic has no
+           inverse-trig lowering): the rotated probe vector (wx, wy, wz)
+           is already the unit direction, so u = (wx, -wy, wz), and the
+           theta clip pulls the vector to inclination ``theta_limit`` at
+           the same azimuth in Cartesian form.
+  stencil  ``ops.delay.delay_lut`` + linear ``interp_weights``
+           ([frac, 1-frac] at shift = (span-taps) - floor(tau))
+  power    ``ops.delay.das_power`` with the 3-tap bandpass *pre-folded
+           into the window columns* (bandpass commutes with the
+           time-invariant stencil contraction)
+  update   monopulse discriminants, theta-then-phi step, clamp/wrap
+
+Mosaic-friendly construction throughout: delays are computed in the
+compact [4P, C] domain and tiled to the contraction domain with
+``pltpu.repeat`` (a tile-concat — which is exactly the s-major
+``[span, C]`` window layout), the stencil is an iota+compare one-hot, and
+there are no gathers, no reshapes into the lane dim, no ``pltpu.roll``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from beamforming_lk_tpu.ops import delay as dl
+
+#: Quadrant probe ring azimuths (ops/geometry.py::quadrant_probes).
+_BASE_PHIS = tuple(np.deg2rad((45.0, 315.0, 225.0, 135.0)).tolist())
+_EPS = 1e-9  # models/tracker.py EPSILON (phi step 1/sin(eps + theta))
+_TWO_PI = 2.0 * np.pi
+
+
+def pack_geometry(points, samples_per_meter, channel_mask=None):
+    """[4, C] static operand: rows (x, y, z) * samples_per_meter and the
+    channel validity mask."""
+    pts = np.asarray(points, np.float64) * float(samples_per_meter)
+    c = pts.shape[1]
+    mask = (
+        np.ones(c, np.float64)
+        if channel_mask is None
+        else np.asarray(channel_mask, np.float64)
+    )
+    return jnp.asarray(np.vstack([pts, mask[None]]), jnp.float32)
+
+
+def fold_bandpass_window(unfolded):
+    """[C, span, T] unfolded probe window -> s-major [span*C, Tp] with the
+    3-tap bandpass (``ops.delay.bandpass_ma``) folded into the time columns
+    and zero-padded to a lane multiple (zero columns add zero power).
+
+    Row ``k = s*C + c`` holds channel c's window at tap offset s — the
+    layout ``pltpu.repeat`` produces when tiling per-channel values
+    ``span`` times along the contraction axis.
+    """
+    c, span, t = unfolded.shape
+    u = jnp.swapaxes(unfolded, 0, 1).reshape(span * c, t)
+    bp = 0.5 * u[:, 1:-1] - 0.25 * (u[:, 2:] + u[:, :-2])
+    pad = (-(t - 2)) % 128
+    if pad:
+        bp = jnp.pad(bp, ((0, 0), (0, pad)))
+    return bp
+
+
+def _chain_kernel(
+    xyz_ref,      # [4, C]  f32: spm*x, spm*y, spm*z + channel mask
+    win_ref,      # [span*C, Tp] compute dtype: bandpass-folded window
+    th_ref,       # [P, 1]  f32 initial theta
+    ph_ref,       # [P, 1]  f32 initial phi
+    st0_ref,      # [4, P, 1] f32 initial (grad_t, grad_p, radius, error)
+                  #           — passed through on never-active rows
+    rate_ref,     # [P, 1]  f32 per-particle step rate
+    spread_ref,   # [P, 1]  f32 per-particle probe spread
+    act_ref,      # [S, P, 1] f32 per-sub-step active mask (1 = step)
+    out_th, out_ph, out_gt, out_gp, out_rad, out_err,   # [P, 1] f32 each
+    *,
+    n_sub: int,
+    span: int,
+    taps: int,
+    theta_limit: float,
+    inv_divisor: float,
+    precision,
+):
+    c = xyz_ref.shape[1]
+    p = th_ref.shape[0]
+    px = xyz_ref[0:1, :]                                   # [1, C]
+    py = xyz_ref[1:2, :]
+    pz = xyz_ref[2:3, :]
+    mask = xyz_ref[3:4, :]
+    win = win_ref[...]
+    k = span * c
+    # Static per-column tap offset s = k // C in the s-major layout.
+    s_k = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1) // c
+    mask_e = pltpu.repeat(mask, span, axis=1)              # [1, span*C]
+    spread = spread_ref[...]
+    rate = rate_ref[...]
+    sin_sp = jnp.sin(spread)
+    cos_sp = jnp.cos(spread)
+    sin_tl = float(np.sin(theta_limit))
+    cos_tl = float(np.cos(theta_limit))
+
+    def probe_u(phi, rt, base_phi):
+        """Steering vector components [P, 1] for one probe ring point."""
+        bx = sin_sp * np.cos(base_phi)
+        by = sin_sp * np.sin(base_phi)
+        bz = cos_sp
+        c_t, s_t = jnp.cos(rt), jnp.sin(rt)
+        vx = c_t * bx + s_t * bz
+        vz = -s_t * bx + c_t * bz
+        c_p, s_p = jnp.cos(phi), jnp.sin(phi)
+        wx = c_p * vx - s_p * by
+        wy = s_p * vx + c_p * by
+        clipped = vz < cos_tl
+        r = jnp.maximum(jnp.sqrt(wx * wx + wy * wy), 1e-12)
+        ux = jnp.where(clipped, sin_tl * wx / r, wx)
+        uy = -jnp.where(clipped, sin_tl * wy / r, wy)
+        uz = jnp.where(clipped, cos_tl, vz)
+        return ux, uy, uz
+
+    def substep(i, carry):
+        theta, phi, gt0, gp0, rad0, err0 = carry
+        active = act_ref[i] > 0.0                          # [P, 1]
+        # FoV-edge back-off (ops/geometry.py::_edge_adjust).
+        near = theta + spread > (np.pi / 2.0)
+        rt = jnp.where(near, theta - spread, theta)
+        adj = jnp.where(near, theta - spread / 2.0, theta)
+        # All 4 probes stacked along the M (sublane) axis: one dot.
+        us = [probe_u(phi, rt, b) for b in _BASE_PHIS]
+        u_x = jnp.concatenate([u[0] for u in us], axis=0)  # [4P, 1]
+        u_y = jnp.concatenate([u[1] for u in us], axis=0)
+        u_z = jnp.concatenate([u[2] for u in us], axis=0)
+        tau = u_x * px + u_y * py + u_z * pz               # [4P, C]
+        # Min over ALL channels — steering_delays does not exclude masked
+        # channels from the min (ops/antenna.py:142); the mask only zeroes
+        # stencil weights below.
+        tau_min = jnp.min(tau, axis=1, keepdims=True)
+        tau = jnp.clip(tau - tau_min, 0.0, float(span - taps))
+        whole = jnp.floor(tau)
+        frac = tau - whole
+        shift = (span - taps) - whole.astype(jnp.int32)    # [4P, C]
+        shift_e = pltpu.repeat(shift, span, axis=1)        # [4P, span*C]
+        frac_e = pltpu.repeat(frac, span, axis=1)
+        w = (
+            jnp.where(s_k == shift_e, frac_e, 0.0)
+            + jnp.where(s_k == shift_e + 1, 1.0 - frac_e, 0.0)
+        ) * mask_e
+        beam = jax.lax.dot_general(
+            w.astype(win.dtype), win,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )                                                  # [4P, Tp] f32
+        powers = jnp.sum(beam * beam, axis=1, keepdims=True) * inv_divisor
+        q1, q2, q3, q4 = (powers[j * p:(j + 1) * p] for j in range(4))
+        total = jnp.maximum(q1 + q2 + q3 + q4, 1e-30)
+        gt = ((q1 + q2) - (q3 + q4)) / total
+        gp = ((q1 + q4) - (q2 + q3)) / total
+        err = jnp.abs(gt) + jnp.abs(gp)
+        rad = total * 0.25
+        new_t = adj + rate * gt
+        new_p = phi + (rate * gp) / jnp.sin(_EPS + new_t)
+        new_t = jnp.clip(new_t, 0.0, theta_limit)
+        new_p = new_p - jnp.floor(new_p / _TWO_PI) * _TWO_PI
+        return (
+            jnp.where(active, new_t, theta),
+            jnp.where(active, new_p, phi),
+            jnp.where(active, gt, gt0),
+            jnp.where(active, gp, gp0),
+            jnp.where(active, rad, rad0),
+            jnp.where(active, err, err0),
+        )
+
+    carry = (
+        th_ref[...], ph_ref[...],
+        st0_ref[0], st0_ref[1], st0_ref[2], st0_ref[3],
+    )
+    theta, phi, gt, gp, rad, err = jax.lax.fori_loop(
+        0, n_sub, substep, carry
+    )
+    out_th[...] = theta
+    out_ph[...] = phi
+    out_gt[...] = gt
+    out_gp[...] = gp
+    out_rad[...] = rad
+    out_err[...] = err
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "span", "taps", "theta_limit", "divisor", "interpret"
+    ),
+)
+def monopulse_chain_pallas(
+    xyz,            # [4, C] from pack_geometry
+    window_bp,      # [span*C, Tp] from fold_bandpass_window (compute dtype)
+    theta, phi,     # [P] f32
+    rates, spreads, # [P] f32
+    active,         # [n_sub, P] bool/float — per-sub-step row mask
+    state0=None,    # optional (grad_t, grad_p, radius, error) [P] each
+    *,
+    span: int,
+    taps: int = dl.LINEAR_TAPS,
+    theta_limit: float,
+    divisor: float,
+    interpret: bool = False,
+):
+    """Run ``n_sub`` dependent monopulse sub-steps in one kernel.
+
+    Returns ``(theta, phi, grad_theta, grad_phi, radius, error)`` each [P]
+    f32 — the state after the chain, rows stepped only where ``active``
+    (matching ``_monopulse_step``'s masked passthrough round by round;
+    never-active rows keep their ``state0`` values, zeros if omitted).
+    """
+    p = theta.shape[0]
+    n_sub = active.shape[0]
+    pad = (-p) % 32                       # sublane multiple for every dtype
+    pp_ = p + pad
+
+    def col(v):
+        v = jnp.asarray(v, jnp.float32).reshape(p, 1)
+        return jnp.pad(v, ((0, pad), (0, 0)))
+
+    if state0 is None:
+        st0 = jnp.zeros((4, pp_, 1), jnp.float32)
+    else:
+        st0 = jnp.stack([col(s) for s in state0])
+    act = jnp.pad(
+        jnp.asarray(active, jnp.float32).reshape(n_sub, p, 1),
+        ((0, 0), (0, pad), (0, 0)),
+    )
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if window_bp.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    kern = functools.partial(
+        _chain_kernel,
+        n_sub=n_sub,
+        span=span,
+        taps=taps,
+        theta_limit=float(theta_limit),
+        inv_divisor=1.0 / float(divisor),
+        precision=precision,
+    )
+    out_sds = [jax.ShapeDtypeStruct((pp_, 1), jnp.float32)] * 6
+    k = window_bp.shape[0]
+    tp = window_bp.shape[1]
+    outs = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_shape=out_sds,
+        cost_estimate=pl.CostEstimate(
+            flops=n_sub * (2 * 4 * pp_ * k * tp + 80 * pp_ * k),
+            bytes_accessed=k * tp * window_bp.dtype.itemsize
+            + n_sub * 4 * pp_ * k * 4,
+            transcendentals=n_sub * 4 * 10 * pp_,
+        ),
+        interpret=interpret,
+    )(
+        xyz, window_bp, col(theta), col(phi), st0,
+        col(rates), col(spreads), act,
+    )
+    return tuple(o[:p, 0] for o in outs)

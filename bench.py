@@ -154,7 +154,7 @@ def make_scan_chunked(step_fn, taps, chunk):
         def body(carry, i):
             history = rg.ring_push(carry, big_blocks)
             windows = rg.ring_windows(history, BLOCK, SHIFT_RANGE, taps, chunk)
-            powers = jax.vmap(lambda w: step_fn(w, *params))(windows)
+            powers = step_fn(windows, *params)      # chunk-level fn [ck, D]
             return history, powers[-1]
 
         history, powers = jax.lax.scan(body, history, jnp.arange(n // chunk))
@@ -264,6 +264,10 @@ def main():
         np.asarray(points), mimo_cfg, dsp, arr, compute="bfloat16",
         assume_lattice_order=True,
     )
+    fft_bf16_lat_pl = fd.make_fft_heatmap_model(
+        np.asarray(points), mimo_cfg, dsp, arr, compute="bfloat16",
+        assume_lattice_order=True, power_path="pallas",
+    )
     lat_perm = fft_bf16_lat.channel_perm
 
     # Chunked streaming (CHUNK blocks per dispatch, identical per-block
@@ -290,8 +294,14 @@ def main():
             fn=lambda w: fd.fft_heatmap_powers(w, fft_bf16_lat),
             params=(), perm=lat_perm,
         ),
+        # Chunked variants take [ck, C, T+S] stacked windows; _pl routes the
+        # power stage through one Pallas kernel for the whole chunk.
         "fft_bf16_x8": dict(
-            fn=lambda w: fd.fft_heatmap_powers(w, fft_bf16_lat),
+            fn=lambda ws: fd.fft_heatmap_powers_chunked(ws, fft_bf16_lat),
+            params=(), perm=lat_perm, chunk=chunk,
+        ),
+        "fft_bf16_x8_pl": dict(
+            fn=lambda ws: fd.fft_heatmap_powers_chunked(ws, fft_bf16_lat_pl),
             params=(), perm=lat_perm, chunk=chunk,
         ),
         # Pallas on-the-fly-stencil kernel (v3: precomputed unfold + in-VMEM
@@ -305,6 +315,7 @@ def main():
     if os.environ.get("BENCH_NO_PALLAS"):
         variants.pop("pallas_f32")
         variants.pop("pallas_bf16")
+        variants.pop("fft_bf16_x8_pl")
     def build_scan(spec):
         """(scan_n, history, noise-blocks input) for a variant spec."""
         ck = spec.get("chunk", 1)

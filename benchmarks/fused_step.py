@@ -103,6 +103,21 @@ def main():
             mimo=MimoConfig(backend="fft"),
             tracker=TrackerConfig(iterations=2),
         ),
+        # + the monopulse chain as one Pallas kernel per swarm iteration
+        # (ops/pallas_tracker.py, ~2x faster per round than the XLA chain).
+        "bf16_fft_iter2_pallas": dataclasses.replace(
+            base,
+            dsp=DspConfig(compute="bfloat16", probe_compute="bfloat16"),
+            mimo=MimoConfig(backend="fft"),
+            tracker=TrackerConfig(iterations=2, probe_kernel="pallas"),
+        ),
+        # Conservative 10-iteration profile with the Pallas chain.
+        "bf16_fft_pallas": dataclasses.replace(
+            base,
+            dsp=DspConfig(compute="bfloat16", probe_compute="bfloat16"),
+            mimo=MimoConfig(backend="fft"),
+            tracker=TrackerConfig(probe_kernel="pallas"),
+        ),
     }
     points = ant.create_antenna_grid(8, 8, 0.02)
     c = points.shape[1]

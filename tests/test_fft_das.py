@@ -358,3 +358,28 @@ def test_lattice_order_model_skips_perm_matmul():
         fd.fft_heatmap_powers(jnp.asarray(window[fast.channel_perm]), fast)
     )
     np.testing.assert_allclose(p_fast, p_base, rtol=1e-5, atol=1e-12)
+
+
+def test_chunked_powers_match_per_window():
+    # fft_heatmap_powers_chunked == vmap(fft_heatmap_powers) for every
+    # power path (the pallas path runs interpret off-TPU).
+    import jax
+
+    mimo = MimoConfig(rows=10, columns=10, fov_degrees=120.0)
+    pts = ant.create_antenna_grid(8, 8, 0.02)
+    rng = np.random.default_rng(3)
+    wins = jnp.asarray(
+        rng.standard_normal(
+            (4, 64, DCFG.shift_range + DCFG.block_size)
+        ).astype(np.float32)
+    )
+    for path in ("fused", "pallas"):
+        model = fd.make_fft_heatmap_model(
+            pts, mimo, DCFG, ACFG, power_path=path
+        )
+        want = np.asarray(
+            jax.vmap(lambda w: fd.fft_heatmap_powers(w, model))(wins)
+        )
+        got = np.asarray(fd.fft_heatmap_powers_chunked(wins, model))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-12,
+                                   err_msg=path)

@@ -1,0 +1,176 @@
+"""Monopulse-chain Pallas kernel (ops/pallas_tracker.py) tests.
+
+Off-TPU the kernel runs in interpret mode — same program, Python
+execution — so these pin the math; the real-Mosaic compile + TPU/interpret
+bit-parity is exercised by the deployment benchmarks (scripts/
+profile_tracker.py, benchmarks/fused_step.py).
+"""
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from beamforming_lk_tpu.config import ArrayConfig, Config, DspConfig, TrackerConfig
+from beamforming_lk_tpu.models import tracker as tk
+from beamforming_lk_tpu.ops import antenna as ant
+from beamforming_lk_tpu.ops import delay as dl
+from beamforming_lk_tpu.ops import pallas_tracker as ptk
+
+ACFG = ArrayConfig()
+
+
+def _setup(seed=0, mask=None):
+    dsp = DspConfig()
+    cfg = TrackerConfig()
+    pts = ant.create_antenna_grid(8, 8, 0.02)
+    span = dl.probe_span(np.asarray(pts), ACFG.samples_per_meter, 2,
+                         dsp.shift_range)
+    rng = np.random.default_rng(seed)
+    window = jnp.asarray(
+        rng.standard_normal((64, dsp.shift_range + dsp.block_size)),
+        jnp.float32,
+    )
+    pw = window[..., dsp.shift_range - span:]
+    unf = dl.unfold_window(pw, span, pw.shape[-1] - span)
+    return cfg, dsp, pts, span, unf, rng
+
+
+def test_chain_kernel_matches_xla_monopulse_chain():
+    # 5 chained sub-steps, random per-particle dynamics, dead channels,
+    # FoV-edge thetas, random active masks — positions must track the XLA
+    # chain (gradients are chaotic-amplified f32 noise over a chain; the
+    # one-substep check below pins them tightly).
+    cfg, dsp, pts, span, unf, rng = _setup(0)
+    mask = np.ones(64, np.float32)
+    mask[[7, 30]] = 0.0
+    p = 27
+    theta0 = jnp.asarray(
+        np.concatenate([rng.uniform(0.05, 1.4, p - 4),
+                        [1.5, 1.55, 1.48, 0.01]]), jnp.float32)
+    phi0 = jnp.asarray(rng.uniform(0.0, 6.28, (p,)), jnp.float32)
+    rates = jnp.asarray(rng.uniform(1e-4, 5e-4, (p,)), jnp.float32)
+    spreads = jnp.asarray(rng.uniform(0.02, 0.13, (p,)), jnp.float32)
+    for n_sub, atol_pos, atol_grad in ((1, 1e-6, 1e-5), (5, 1e-4, None)):
+        act = rng.random((n_sub, p)) > 0.3
+        parts = tk.Particles(theta0, phi0, theta0 * 0, theta0 * 0,
+                             theta0 * 0, theta0 * 0)
+        mono = functools.partial(
+            tk._monopulse_step,
+            window=None, points=jnp.asarray(pts),
+            channel_mask=jnp.asarray(mask),
+            theta_limit=cfg.theta_limit, shift_range=dsp.shift_range,
+            mode="linear", fir_bank=None,
+            samples_per_meter=ACFG.samples_per_meter, unfolded=unf)
+        pr = parts
+        for i in range(n_sub):
+            pr = mono(pr, jnp.asarray(act[i]), rate=rates, spread=spreads)
+        xyz = ptk.pack_geometry(pts, ACFG.samples_per_meter,
+                                channel_mask=mask)
+        win_bp = ptk.fold_bandpass_window(unf)
+        out = ptk.monopulse_chain_pallas(
+            xyz, win_bp, theta0, phi0, rates, spreads, jnp.asarray(act),
+            span=span, theta_limit=cfg.theta_limit,
+            divisor=float(unf.shape[-1]),
+            interpret=jax.default_backend() != "tpu")
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(pr.theta),
+                                   atol=atol_pos)
+        np.testing.assert_allclose(np.asarray(out[1]), np.asarray(pr.phi),
+                                   atol=atol_pos * 10)
+        if atol_grad is not None:
+            for got, want in zip(out[2:], (pr.grad_theta, pr.grad_phi,
+                                           pr.radius, pr.error)):
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(want),
+                    atol=atol_grad * max(1.0, float(jnp.max(jnp.abs(want)))))
+
+
+def test_chain_kernel_passes_state0_through_inactive_rows():
+    cfg, dsp, pts, span, unf, rng = _setup(1)
+    p = 8
+    theta0 = jnp.asarray(rng.uniform(0.2, 1.0, (p,)), jnp.float32)
+    phi0 = jnp.asarray(rng.uniform(0.0, 6.0, (p,)), jnp.float32)
+    ones = jnp.ones((p,), jnp.float32)
+    act = np.zeros((3, p), bool)
+    act[:, :4] = True  # rows 4..7 never active
+    st0 = tuple(jnp.full((p,), v, jnp.float32) for v in (0.1, 0.2, 0.3, 0.4))
+    out = ptk.monopulse_chain_pallas(
+        ptk.pack_geometry(pts, ACFG.samples_per_meter),
+        ptk.fold_bandpass_window(unf),
+        theta0, phi0, ones * 3e-4, ones * 0.1, jnp.asarray(act),
+        state0=st0, span=span, theta_limit=cfg.theta_limit,
+        divisor=float(unf.shape[-1]),
+        interpret=jax.default_backend() != "tpu")
+    np.testing.assert_array_equal(np.asarray(out[0][4:]),
+                                  np.asarray(theta0[4:]))
+    for o, v in zip(out[2:], (0.1, 0.2, 0.3, 0.4)):
+        np.testing.assert_array_equal(np.asarray(o[4:]),
+                                      np.full(4, v, np.float32))
+
+
+def test_fused_step_pallas_chain_matches_xla(monkeypatch):
+    # The full fused app step with probe_kernel="pallas" tracks the XLA
+    # chain on a synthetic source: same lock, directions within tolerance.
+    from beamforming_lk_tpu.app import AwpuPipeline
+    from beamforming_lk_tpu.config import MimoConfig
+    from beamforming_lk_tpu.io.synthetic import plane_wave_block
+
+    src = (0.5, 1.2, 5000.0)
+    pts = ant.create_antenna_grid(8, 8, 0.02)
+    base = Config(
+        mimo=MimoConfig(rows=16, columns=16),
+        tracker=TrackerConfig(iterations=2),
+    )
+    results = {}
+    for kern in ("xla", "pallas"):
+        cfg = dataclasses.replace(
+            base, tracker=dataclasses.replace(base.tracker,
+                                              probe_kernel=kern)
+        )
+        pipe = AwpuPipeline(cfg, points=pts, enable_mimo=False, seed=3)
+        for i in range(12):
+            blk = plane_wave_block(pts, [src], i * 256, 256, cfg.array,
+                                   noise_std=0.01,
+                                   rng=np.random.default_rng(100 + i))
+            out = pipe.process_block(blk)
+        t = pipe.targets()
+        assert t, f"{kern}: tracker failed to lock"
+        best = max(t, key=lambda x: x["power"])
+        results[kern] = (best["theta"], best["phi"])
+    dt = abs(results["pallas"][0] - results["xla"][0])
+    dp = abs(results["pallas"][1] - results["xla"][1])
+    assert dt < 0.05 and dp < 0.05, results
+
+
+def test_swarm_step_pallas_chain_locks_like_xla():
+    # Unfused swarm impl (make_swarm_step) with the kernel chain: locks the
+    # same synthetic source as the XLA chain.
+    from beamforming_lk_tpu.io import ring as rg
+    from beamforming_lk_tpu.io.synthetic import plane_wave_block
+
+    dsp = DspConfig()
+    pts = ant.create_antenna_grid(8, 8, 0.02)
+    src = (0.6, 2.0, 4500.0)
+    results = {}
+    for kern in ("xla", "pallas"):
+        cfg = TrackerConfig(iterations=4, probe_kernel=kern)
+        step = tk.make_swarm_step(pts, cfg, dsp, ACFG)
+        state = tk.swarm_init(cfg, jax.random.PRNGKey(5))
+        hist = rg.ring_init(64, dsp.history)
+        targets = None
+        for i in range(10):
+            blk = plane_wave_block(pts, [src], i * 256, 256, ACFG,
+                                   noise_std=0.01,
+                                   rng=np.random.default_rng(i))
+            hist = rg.ring_push(hist, jnp.asarray(blk))
+            window = rg.ring_window(hist, dsp.block_size, dsp.shift_range, 2)
+            state, targets = step(state, window, jnp.int32(i))
+        valid = np.asarray(targets.valid)
+        assert valid.any(), kern
+        k = int(np.argmax(np.where(valid, np.asarray(targets.power), -1)))
+        results[kern] = (float(np.asarray(targets.theta)[k]),
+                         float(np.asarray(targets.phi)[k]))
+    assert abs(results["pallas"][0] - results["xla"][0]) < 0.05
+    assert abs(results["pallas"][1] - results["xla"][1]) < 0.05
