@@ -53,3 +53,8 @@ from beamforming_lk_tpu.ops.pallas_das import (
     delay_split_np,
     pad_directions,
 )
+from beamforming_lk_tpu.ops.pallas_tracker import (
+    fold_bandpass_window,
+    monopulse_chain_pallas,
+    pack_geometry,
+)

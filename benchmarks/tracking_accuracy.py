@@ -36,13 +36,14 @@ def run_scenario(
     motion_deg_per_s: float = 10.0,
     seed: int = 0,
     probe_compute: str = "float32",
+    probe_kernel: str = "xla",
 ):
     from beamforming_lk_tpu.config import DspConfig
 
     cfg = Config(
         dsp=DspConfig(probe_compute=probe_compute),
         mimo=MimoConfig(rows=8, columns=8),
-        tracker=TrackerConfig(iterations=4),
+        tracker=TrackerConfig(iterations=4, probe_kernel=probe_kernel),
     )
     pipe = AwpuPipeline(cfg, seed=seed, enable_mimo=False, enable_miso=False)
     dt = cfg.dsp.block_seconds
@@ -182,8 +183,21 @@ def run_multi_scenario(
 
 
 if __name__ == "__main__":
+    import jax
+
     for pc in ("float32", "bfloat16"):
         print(pc, json.dumps(run_scenario(probe_compute=pc), indent=2))
+    if jax.default_backend() == "tpu":
+        # Tracker-chain Pallas kernel (ops/pallas_tracker.py): quality must
+        # match the XLA chain (interpret mode off-TPU is too slow to sweep).
+        print(
+            "bfloat16+pallas_chain",
+            json.dumps(
+                run_scenario(probe_compute="bfloat16",
+                             probe_kernel="pallas"),
+                indent=2,
+            ),
+        )
     for n in (2, 3):
         print(
             f"multi{n}",

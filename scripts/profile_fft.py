@@ -212,6 +212,26 @@ def main():
     a_im_c = jax.device_put(jnp.asarray(
         rngp.standard_normal((dp, f_half)), jnp.bfloat16))
 
+    def w4_pow_concat2d(w):
+        # fused power via ONE 2D matmul on the concatenated [M, 2F] planes.
+        b2_re, b2_im = stage_b2s(w)
+        mm = mm_model()
+        m2 = b2_re.shape[0] * b2_re.shape[1]
+        b2_ri = jnp.concatenate(
+            [b2_re.reshape(m2, f_half), b2_im.reshape(m2, f_half)], axis=1)
+        bp = mm("mf,ft->mt", b2_ri, model.pow_ri)
+        return jnp.sum(bp * bp, axis=-1)[:4]
+
+    def w5_pow_split(w):
+        # fused power WITHOUT the re|im concat: two matmuls, add, square.
+        b2_re, b2_im = stage_b2s(w)
+        mm = mm_model()
+        m2 = b2_re.shape[0] * b2_re.shape[1]
+        bp = mm("mf,ft->mt", b2_re.reshape(m2, f_half),
+                model.pow_ri[:f_half]) + mm(
+            "mf,ft->mt", b2_im.reshape(m2, f_half), model.pow_ri[f_half:])
+        return jnp.sum(bp * bp, axis=-1)[:4]
+
     variants = {
         "v0_window": lambda w: jnp.sum(w[:, -4:], axis=0),
         "v1_dft": lambda w: sum(jnp.sum(p, axis=(0, 1))[:4] for p in stage_x(w)),
@@ -223,6 +243,8 @@ def main():
         "v7_pallas_power": lambda w: fd.fft_heatmap_powers(w, m_pallas)[:4],
         "w1_bp_only": w1_bp_only,
         "w2_bp_sq": w2_bp_sq,
+        "w4_pow_concat2d": w4_pow_concat2d,
+        "w5_pow_split": w5_pow_split,
         "w3_pallas_kernel": lambda w: w3_pallas_noprep(w, a_re_c, a_im_c),
     }
     only = os.environ.get("PROFILE_ONLY")
