@@ -287,6 +287,16 @@ def make_awpu_step(
         else 0
     )
 
+    def _ema_chain(maxes, prev_max, ck):
+        """All ck EMA states of m_j = a*max_j + (1-a)*m_{j-1} in closed
+        form (the recurrence is linear)."""
+        a = cfg.mimo.ema_alpha
+        decay = (1.0 - a) ** jnp.arange(ck, dtype=maxes.dtype)
+        contrib = jnp.cumsum(a * maxes / decay) * decay
+        return contrib + prev_max * (1.0 - a) ** jnp.arange(
+            1, ck + 1, dtype=maxes.dtype
+        )
+
     def _chunk_scan(state, blocks, pts, mask, mimo_w):
         """[M, C, T] blocks, M a multiple of ``heatmap_chunk``."""
         ck = heatmap_chunk
@@ -326,17 +336,7 @@ def make_awpu_step(
                     beams, use_bandpass=dsp.use_bandpass,
                     divisor=beams.shape[-1] * n_active,
                 )
-            # Per-block EMA maxima: m_j = a*max_j + (1-a)*m_{j-1} — a linear
-            # recurrence; reconstruct all ck states exactly:
-            #   m_j = (1-a)^(j+1) m_prev + a sum_i<=j (1-a)^(j-i) max_i
-            # ((1-a)^-i stays modest for the small chunk sizes in use).
-            a = cfg.mimo.ema_alpha
-            maxes = jnp.max(powers, axis=-1)                  # [ck]
-            decay = (1.0 - a) ** jnp.arange(ck, dtype=powers.dtype)
-            contrib = jnp.cumsum(a * maxes / decay) * decay
-            emas = contrib + prev_max * (1.0 - a) ** jnp.arange(
-                1, ck + 1, dtype=powers.dtype
-            )
+            emas = _ema_chain(jnp.max(powers, axis=-1), prev_max, ck)
             return (hist, emas[-1]), (powers, emas)
 
         (hist, prev_max), (powers, emas) = jax.lax.scan(
