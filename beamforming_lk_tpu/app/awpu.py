@@ -384,6 +384,11 @@ def make_awpu_step(
             return jitted_scan(state, blocks, pts_dev, mask_dev, w_dev)
 
         step.scan = scan_step
+        # AOT handles for profiling/cost analysis (benchmarks/scaling.py
+        # lowers these to read per-device compiled FLOPs).
+        step._jitted = jitted
+        step._jitted_scan = jitted_scan
+        step._operands = (pts_dev, mask_dev, w_dev)
         return step
 
     # --- Sharded build: the array model becomes shard_map operands.
@@ -452,6 +457,9 @@ def make_awpu_step(
         return jitted_scan(state, blocks, pts_dev, w_dev, *mask_args)
 
     step.scan = scan_step
+    step._jitted = jitted
+    step._jitted_scan = jitted_scan
+    step._operands = (pts_dev, w_dev) + mask_args
     return step
 
 
@@ -578,10 +586,13 @@ class AwpuPipeline:
                 blocks, NS(self.mesh, PS(None, ch, None))
             )
         if self._mvdr_step is not None:
-            for i in range(blocks.shape[0]):
-                self._mvdr_state, self._mvdr_powers = self._mvdr_step(
-                    self._mvdr_state, blocks[i]
-                )
+            # Whole batch as one on-device lax.scan (models/mvdr.py
+            # _attach_scan) — the per-block host loop would be
+            # dispatch-latency bound through a remote-TPU tunnel.
+            self._mvdr_state, stacked_p = self._mvdr_step.scan(
+                self._mvdr_state, blocks
+            )
+            self._mvdr_powers = stacked_p[-1]
         self.state, stacked = self.step.scan(self.state, blocks)
         self.last = jax.tree.map(lambda x: x[-1], stacked)
         return stacked

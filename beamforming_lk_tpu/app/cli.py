@@ -88,6 +88,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="DAS heatmap compute: dense shift-matmul or the "
                         "separable frequency-domain transform (planar-"
                         "lattice arrays, ~20x fewer FLOPs)")
+    p.add_argument("--heatmap-chunk", type=int, default=0,
+                   help="heatmap-only chunked streaming: beamform this many "
+                        "blocks per device dispatch (~2x replay throughput "
+                        "at 8 on TPU v5e; needs --mimo without "
+                        "--tracking/--miso)")
+    p.add_argument("--replay-batch", type=int, default=0,
+                   help="blocks per device dispatch when replaying offline "
+                        "sources (synthetic/pcap); 0 = --heatmap-chunk if "
+                        "set, else per-block")
+    p.add_argument("--logo", default=None, metavar="FILE.png",
+                   help="composite this logo into the frame's top-left "
+                        "corner (the reference's --logo overlay)")
     p.add_argument("--record", default=None, metavar="FILE.avi",
                    help="record frames to AVI (requires cv2)")
     p.add_argument("--display", action="store_true",
@@ -180,12 +192,22 @@ def main(argv=None) -> int:
     cfg = Config(
         mimo=MimoConfig(rows=args.mimo_res, columns=args.mimo_res,
                         fov_degrees=args.fov, backend=backend,
-                        phat=args.phat),
+                        phat=args.phat,
+                        heatmap_chunk=max(args.heatmap_chunk, 0)),
         tracker=TrackerConfig(fov_degrees=args.fov),
     )
     if args.realtime:
         cfg = cfg.realtime()
     n_arrays = max(args.arrays, len(args.port or []))
+    logo = None
+    if args.logo is not None:
+        from beamforming_lk_tpu.utils.png import read_png
+
+        try:
+            logo = read_png(args.logo)
+        except (OSError, ValueError) as e:
+            # Degrade like the reference's logo load error (stderr note).
+            print(f"logo disabled: {e}", file=sys.stderr)
     camera = None
     if args.camera is not None:
         from beamforming_lk_tpu.utils.video import CameraSource
@@ -210,6 +232,7 @@ def main(argv=None) -> int:
         channels=args.channels,
         camera=camera.read if camera is not None else None,
         debug=args.debug,
+        logo=logo,
     )
     if args.load_state:
         for i, pipe in enumerate(unit.pipelines):
@@ -272,10 +295,21 @@ def main(argv=None) -> int:
                     f"calibration: {int(np.asarray(result.usable))}/"
                     f"{len(np.asarray(result.mask))} channels usable"
                 )
+    # Offline sources can run many blocks per dispatch (the faster-than-
+    # real-time udpreplay analog); live sources stay per-block.
+    batch = args.replay_batch
+    if batch <= 0:
+        batch = (
+            cfg.mimo.heatmap_chunk
+            if (cfg.mimo.heatmap_chunk > 1
+                and args.source in ("synthetic", "pcap"))
+            else 1
+        )
     with trace(args.profile):
         summary = unit.run(
             sources,
             n_blocks=args.blocks if args.blocks > 0 else None,
+            batch=batch,
             render_every=args.render_every,
             output_dir=args.output_dir,
             on_frame=on_frame if (publisher or gpsd) else None,

@@ -54,6 +54,7 @@ class ControlUnit:
         channels: Optional[int] = None,
         camera: Optional[Callable[[], Optional[np.ndarray]]] = None,
         debug: bool = False,
+        logo: Optional[np.ndarray] = None,
     ):
         self.cfg = cfg
         self.flip = flip
@@ -79,6 +80,20 @@ class ControlUnit:
         ]
         self.metrics = BlockMetrics(cfg.dsp.block_size, cfg.array.sample_rate)
         self.fps = FpsMeter()
+        # Logo overlay, composited into the top-left frame corner (the
+        # reference's --logo cv::imread + corner copy,
+        # src/main.cpp:19-97 / aw_control_unit.cpp).  RGB or RGBA uint8;
+        # scaled to ~1/6 of the frame height.
+        self._logo = None
+        if logo is not None:
+            from beamforming_lk_tpu.utils.overlay import nearest_resize
+
+            logo = np.asarray(logo)
+            if logo.ndim == 2:
+                logo = np.repeat(logo[..., None], 3, axis=-1)
+            lh = max(frame_size // 6, 1)
+            lw = max(int(round(logo.shape[1] * lh / logo.shape[0])), 1)
+            self._logo = nearest_resize(logo.astype(np.uint8), (lh, lw))
         self.lut = ocean_lut() if colormap == "ocean" else jet_lut()
         self.blur_sigma = blur_sigma
         self.frame_size = frame_size
@@ -119,6 +134,27 @@ class ControlUnit:
             for o in outs:
                 np.asarray(o.powers)
         self.metrics.end_block()
+        if self.fusion is not None:
+            best = self.fusion.step(now)
+            if best is not None and best.valid:
+                if self._kf_state is None:
+                    self._kf_state = self._kf.init()
+                self._kf_state = self._kf.update(
+                    self._kf_state, np.asarray(best.position, np.float32)
+                )
+        return outs
+
+    def process_batch(self, blocks: Sequence[np.ndarray], now: float = 0.0):
+        """Feed M stacked blocks [M, C, T] per array in ONE device dispatch
+        each (:meth:`AwpuPipeline.process_blocks` — the chunked/scan
+        streaming path).  Returns per-array stacked outputs; fusion and the
+        KF see the final block's targets (``pipe.last``)."""
+        m = int(np.asarray(blocks[0]).shape[0])
+        self.metrics.start_block()
+        outs = [p.process_blocks(b) for p, b in zip(self.pipelines, blocks)]
+        for o in outs:
+            np.asarray(o.prev_max)  # sync for honest amortized latency
+        self.metrics.end_block(n=m)
         if self.fusion is not None:
             best = self.fusion.step(now)
             if best is not None and best.valid:
@@ -193,7 +229,20 @@ class ControlUnit:
                           scale=2)
             tiles.append(rgb)
         self.fps.tick()
-        return np.concatenate(tiles, axis=1) if len(tiles) > 1 else tiles[0]
+        frame = np.concatenate(tiles, axis=1) if len(tiles) > 1 else tiles[0]
+        if self._logo is not None:
+            frame = frame.copy()
+            lg = self._logo
+            lh, lw = lg.shape[:2]
+            region = frame[:lh, :lw]
+            if lg.shape[-1] == 4:  # alpha composite
+                a = lg[..., 3:4].astype(np.float32) / 255.0
+                region[:] = (
+                    a * lg[..., :3] + (1.0 - a) * region
+                ).astype(np.uint8)
+            else:
+                region[:] = lg
+        return frame
 
     def handle_click(self, row: int, col: int) -> Optional[tuple]:
         """Steer the clicked tile's MISO listener at a rendered-frame pixel
@@ -245,6 +294,7 @@ class ControlUnit:
         play: Optional[str] = None,
         player_command: Optional[Sequence[str]] = None,
         mp3_command: Optional[Sequence[str]] = None,
+        batch: int = 1,
     ) -> dict:
         """Drive block iterators (one per array) to completion.
 
@@ -258,6 +308,13 @@ class ControlUnit:
         audio_wrapper.cpp:93-143); degrades with a warning when no player
         exists.  ``miso_mp3`` records the beam as MP3 alongside the WAV
         (audio_wrapper.cpp:12-85), degrading likewise without an encoder.
+
+        ``batch`` > 1 feeds that many blocks per device dispatch through
+        :meth:`process_batch` — the offline-replay throughput path (the
+        udpreplay analog runs faster than real time this way; with
+        ``MimoConfig.heatmap_chunk`` set and tracker/MISO off it hits the
+        chunked-streaming rate from bench.py).  Rendering/fusion then see
+        state at batch granularity.
         """
         wav = None
         if miso_wav is not None:
@@ -297,20 +354,35 @@ class ControlUnit:
             screen = LiveDisplay()
         if output_dir is not None:
             os.makedirs(output_dir, exist_ok=True)
+        import itertools as _it
+
         iters = [iter(s) for s in sources]
         i = 0
+        batch = max(int(batch), 1)
+        player_ref = player  # stats survive playback-error degrade
         try:
             while n_blocks is None or i < n_blocks:
-                try:
-                    blocks = [next(it) for it in iters]
-                except StopIteration:
-                    break
-                now = i * self.cfg.dsp.block_seconds
-                outs = self.process(
-                    blocks, now=now, sync=((i + 1) % max(sync_every, 1) == 0)
+                want = (
+                    batch if n_blocks is None else min(batch, n_blocks - i)
                 )
+                per_source = [list(_it.islice(it, want)) for it in iters]
+                k = min((len(g) for g in per_source), default=0)
+                if k == 0:
+                    break
+                per_source = [g[:k] for g in per_source]
+                now = i * self.cfg.dsp.block_seconds
+                if k == 1 and batch == 1:
+                    outs = self.process(
+                        [g[0] for g in per_source], now=now,
+                        sync=((i + 1) % max(sync_every, 1) == 0),
+                    )
+                else:
+                    outs = self.process_batch(
+                        [np.stack(g) for g in per_source], now=now
+                    )
                 if wav is not None or mp3 is not None:
-                    beam = np.asarray(outs[0].miso_beam)
+                    # [T] single or [M, T] stacked — flatten covers both.
+                    beam = np.asarray(outs[0].miso_beam).reshape(-1)
                     if wav is not None:
                         wav.write(beam)
                     if mp3 is not None:
@@ -318,9 +390,15 @@ class ControlUnit:
                 if player is not None:
                     try:
                         if play == "miso":
-                            player.play(np.asarray(outs[0].miso_beam))
+                            player.play(
+                                np.asarray(outs[0].miso_beam).reshape(-1)
+                            )
                         else:  # raw: mic 0 of array 0 (audioCallback)
-                            player.play(np.asarray(blocks[0])[0])
+                            player.play(
+                                np.concatenate(
+                                    [np.asarray(b)[0] for b in per_source[0]]
+                                )
+                            )
                     except RuntimeError as e:
                         print(f"audio playback stopped: {e}",
                               file=__import__("sys").stderr)
@@ -329,11 +407,15 @@ class ControlUnit:
                     output_dir is not None or on_frame is not None
                     or recorder is not None or screen is not None
                 )
-                if (i + 1) % render_every == 0 and want_frame:
+                rendered_boundary = (i + k) // render_every != i // render_every
+                if rendered_boundary and want_frame:
                     frame = self.render_frame()
                     if output_dir is not None:
                         write_png(
-                            os.path.join(output_dir, f"frame_{i:06d}.png"), frame
+                            os.path.join(
+                                output_dir, f"frame_{i + k - 1:06d}.png"
+                            ),
+                            frame,
                         )
                     if recorder is not None:
                         recorder.write(frame)
@@ -344,23 +426,28 @@ class ControlUnit:
                             self.handle_click(r, c)  # click-to-steer
                     if on_frame is not None:
                         on_frame(frame)
-                if verbose and (i + 1) % 64 == 0:
+                if verbose and (i + k) // 64 != i // 64:
                     s = self.metrics.summary()
                     print(
-                        f"block {i + 1}: {s['blocks_per_s']:.1f} blocks/s "
+                        f"block {i + k}: {s['blocks_per_s']:.1f} blocks/s "
                         f"({s['realtime_factor']:.2f}x realtime), "
                         f"p50 {s['latency_p50_ms']:.2f} ms"
                     )
-                i += 1
+                i += k
         finally:
             if wav is not None:
                 wav.close()
             if mp3 is not None:
                 mp3.close()
-            if player is not None:
-                player.close()
+            if player_ref is not None:
+                player_ref.close()
             if recorder is not None:
                 recorder.close()
             if screen is not None:
                 screen.close()
-        return self.metrics.summary()
+        summary = self.metrics.summary()
+        if player_ref is not None:
+            # Playback buffer health (bounded queue: played/dropped/depth),
+            # same story as the ingest drop counters.
+            summary["audio"] = player_ref.stats()
+        return summary

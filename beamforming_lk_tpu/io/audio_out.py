@@ -12,8 +12,10 @@ always-available sink).
 
 from __future__ import annotations
 
+import queue
 import shutil
 import subprocess
+import threading
 from typing import Optional, Sequence
 
 import numpy as np
@@ -31,7 +33,19 @@ def default_player_command(sample_rate: float) -> Optional[Sequence[str]]:
 
 
 class AudioPlayer:
-    """Streams float blocks to a PCM player subprocess.
+    """Streams float blocks to a PCM player subprocess through a BOUNDED
+    queue with real-time drop semantics.
+
+    The reference's PortAudio callback is clocked by the audio device with a
+    fixed-size buffer (``src/audio/audio_wrapper.cpp:93-143``) — a stalled
+    consumer can never back up the compute thread.  Piping straight into
+    ``aplay`` loses that contract: blocks queue unboundedly in the pipe.
+    Here a writer thread drains a ``max_buffer_blocks``-deep queue into the
+    player; when the consumer falls behind, :meth:`play` DROPS the block
+    and counts it (the same health story as the ingest ring's drop
+    counters, ``csrc/ingest.c``) instead of stalling the 5.24 ms block
+    cadence.  :meth:`stats` exposes played/dropped/queue-depth counters,
+    surfaced in the run summary (``app/control.py``).
 
     ``command`` overrides the player (tests pipe to a file reader); raises
     RuntimeError when no player is available and none is given.
@@ -41,6 +55,7 @@ class AudioPlayer:
         self,
         sample_rate: float = 48828.0,
         command: Optional[Sequence[str]] = None,
+        max_buffer_blocks: int = 8,
     ):
         if command is None:
             command = default_player_command(sample_rate)
@@ -53,24 +68,87 @@ class AudioPlayer:
             list(command), stdin=subprocess.PIPE,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
+        self._queue: "queue.Queue[Optional[bytes]]" = queue.Queue(
+            maxsize=max(int(max_buffer_blocks), 1)
+        )
+        self._queued = 0
+        self._played = 0
+        self._dropped = 0
+        self._max_depth = 0
+        self._error: Optional[BaseException] = None
+        self._writer = threading.Thread(target=self._drain, daemon=True)
+        self._writer.start()
+
+    def _drain(self) -> None:
+        while True:
+            pcm = self._queue.get()
+            if pcm is None:
+                return
+            if self._error is not None:
+                continue  # keep emptying so close() cannot hang
+            try:
+                self._proc.stdin.write(pcm)
+                self._proc.stdin.flush()
+                self._played += 1
+            except (BrokenPipeError, OSError, ValueError) as e:
+                self._error = e
 
     def play(self, block) -> None:
-        """Queue one float block [T] in [-1, 1]."""
+        """Queue one float block [T] in [-1, 1].
+
+        Never blocks: a full buffer (consumer behind real time) drops the
+        block and bumps the ``dropped`` counter.  Raises RuntimeError once
+        the player process has exited (callers degrade gracefully)."""
+        if self._error is not None:
+            raise RuntimeError("audio player exited") from self._error
         data = np.clip(np.asarray(block, np.float32), -1.0, 1.0)
         pcm = np.round(data * 32767.0).astype("<i2").tobytes()
+        self._max_depth = max(self._max_depth, self._queue.qsize())
         try:
-            self._proc.stdin.write(pcm)
-            self._proc.stdin.flush()
-        except BrokenPipeError as e:
-            raise RuntimeError("audio player exited") from e
+            self._queue.put_nowait(pcm)
+            self._queued += 1
+        except queue.Full:
+            self._dropped += 1
+
+    def stats(self) -> dict:
+        """Buffer health counters: blocks queued/played/dropped, current
+        and high-water queue depth (the AudioWrapper buffer accounting the
+        reference's fixed PortAudio ring gives for free)."""
+        return {
+            "queued": self._queued,
+            "played": self._played,
+            "dropped": self._dropped,
+            "depth": self._queue.qsize(),
+            "max_depth": self._max_depth,
+        }
 
     def close(self) -> None:
-        if self._proc.stdin:
+        sent = True
+        try:
+            self._queue.put_nowait(None)
+        except queue.Full:
+            sent = False
+        self._writer.join(timeout=2)
+        if self._writer.is_alive():
+            # Consumer wedged mid-write on a full pipe: kill the player so
+            # the blocked write fails and the writer drains out.
+            self._proc.terminate()
+            if not sent:
+                try:
+                    self._queue.put(None, timeout=5)
+                except queue.Full:
+                    pass
+            self._writer.join(timeout=5)
+        if self._proc.stdin and not self._writer.is_alive():
             try:
                 self._proc.stdin.close()
-            except BrokenPipeError:
+            except (BrokenPipeError, OSError):
                 pass
-        self._proc.wait(timeout=10)
+        try:
+            self._proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            self._proc.kill()
+            self._proc.wait(timeout=10)
 
     def __enter__(self):
         return self

@@ -337,6 +337,9 @@ def make_sharded_mvdr_step(
     def step(state, block):
         return jitted(state, block, v_dev, dft_dev, binw_dev)
 
+    step._jitted = jitted
+    step._operands = (v_dev, dft_dev, binw_dev)
+
     cov_shard = NamedSharding(mesh, P(axis_name, None, None))
     state = MvdrState(
         cov_re=jax.device_put(

@@ -249,6 +249,36 @@ def _monopulse_step(
     )
 
 
+def _use_pallas_chain(cfg: TrackerConfig, dsp: DspConfig, axis_name) -> bool:
+    """Gate for the Pallas monopulse-chain backend, with a visible fallback.
+
+    The kernel (ops/pallas_tracker.py) covers the deployment configuration
+    — linear interpolation, quadrant probes, unsharded channels.  Anything
+    else silently ran the ~2x slower XLA chain before; now the fallback is
+    announced once per step build (mirroring the fft->dense heatmap note,
+    app/awpu.py)."""
+    supported = (
+        dsp.interp == "linear"
+        and cfg.probe_layout == "quadrant"
+        and axis_name is None
+    )
+    if cfg.probe_kernel == "pallas" and not supported:
+        import sys
+
+        why = (
+            f"interp={dsp.interp!r}" if dsp.interp != "linear"
+            else f"probe_layout={cfg.probe_layout!r}"
+            if cfg.probe_layout != "quadrant"
+            else "sharded channels"
+        )
+        print(
+            f"tracker probe_kernel 'pallas' unavailable ({why}); "
+            "using the XLA monopulse chain (see docs/performance.md)",
+            file=sys.stderr,
+        )
+    return cfg.probe_kernel == "pallas" and supported
+
+
 def _merge_trackers(trackers: Particles, tracking, start, closeness: float):
     """Absorb pairwise-close trackers, oldest wins
     (gradient_ascend.cpp:332-351)."""
@@ -315,12 +345,7 @@ def make_swarm_step_impl(
         if probe_span is None
         else min(probe_span, dsp.shift_range)
     )
-    use_pallas_chain = (
-        cfg.probe_kernel == "pallas"
-        and dsp.interp == "linear"
-        and cfg.probe_layout == "quadrant"
-        and axis_name is None
-    )
+    use_pallas_chain = _use_pallas_chain(cfg, dsp, axis_name)
 
     t_len = dsp.block_size
 
@@ -601,12 +626,7 @@ def make_fused_step_impl(
     # ops/pallas_tracker.py); it covers the deployment configuration and
     # falls back to the XLA chain otherwise (sharded channels, FIR interp,
     # horizontal probes).
-    use_pallas_chain = (
-        cfg.probe_kernel == "pallas"
-        and dsp.interp == "linear"
-        and cfg.probe_layout == "quadrant"
-        and axis_name is None
-    )
+    use_pallas_chain = _use_pallas_chain(cfg, dsp, axis_name)
     # Per-particle dynamics for the two mixed-family dispatch shapes.
     rates_tsm = jnp.asarray(
         [tracker_rate] * nt + [seeker_rate] * ns + [miso_rate], jnp.float32

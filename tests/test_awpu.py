@@ -286,3 +286,29 @@ def test_heatmap_chunked_scan_matches_per_block():
             np.asarray(b.state.prev_max), np.asarray(a.state.prev_max),
             rtol=2e-5, err_msg=backend,
         )
+
+
+def test_process_blocks_drives_mvdr_through_scan():
+    """The adaptive estimators ride process_blocks as ONE on-device scan
+    (models/mvdr.py _attach_scan) and match per-block stepping exactly."""
+    cfg = Config(mimo=MimoConfig(rows=8, columns=8))
+    pts = ant.create_antenna_grid()
+    blocks = _blocks(pts, 6)
+    kw = dict(points=pts, enable_tracker=False, enable_miso=False)
+
+    for mode in ("mvdr", "music"):
+        a = AwpuPipeline(cfg, heatmap_mode=mode, **kw)
+        for b in blocks:
+            a.process_block(b)
+        b_pipe = AwpuPipeline(cfg, heatmap_mode=mode, **kw)
+        b_pipe.process_blocks(np.stack(blocks))
+        np.testing.assert_allclose(
+            np.asarray(b_pipe._mvdr_powers), np.asarray(a._mvdr_powers),
+            rtol=1e-5, atol=1e-30, err_msg=mode,
+        )
+        np.testing.assert_allclose(
+            np.asarray(b_pipe._mvdr_state.cov_re),
+            np.asarray(a._mvdr_state.cov_re), rtol=1e-6, atol=1e-12,
+            err_msg=mode,
+        )
+        assert int(np.asarray(b_pipe._mvdr_state.count)) == 6

@@ -231,3 +231,105 @@ def test_multihost_helper_single_process():
     arr = global_block_from_local(local, mesh)
     assert arr.shape == (64, 32)
     np.testing.assert_array_equal(np.asarray(arr), local)
+
+
+def test_batched_run_matches_per_block(tmp_path):
+    """run(batch=N) drives N blocks per device dispatch (process_batch /
+    AwpuPipeline.process_blocks) and produces the same MISO WAV and block
+    count as per-block stepping — the offline-replay throughput path."""
+    from beamforming_lk_tpu.io.wav import read_wav
+
+    cfg = Config(mimo=MimoConfig(rows=16, columns=16),
+                 tracker=TrackerConfig(iterations=1))
+    n = 7
+    blocks = None
+    wavs = {}
+    for batch in (1, 3):
+        unit = ControlUnit(cfg, enable_tracker=False, enable_miso=True)
+        if blocks is None:
+            blocks = _blocks_for(
+                unit.pipelines[0].points, (0, 0, 0), (0.5, 0.3, 5.0), n, 0
+            )
+        wav = str(tmp_path / f"b{batch}.wav")
+        summary = unit.run([blocks], n_blocks=n, miso_wav=wav, batch=batch)
+        assert summary["blocks"] == n
+        wavs[batch] = read_wav(wav)[0]
+    np.testing.assert_allclose(wavs[3], wavs[1], rtol=1e-6, atol=2.0 / 32767)
+
+
+def test_run_summary_reports_audio_stats(tmp_path):
+    unit = ControlUnit(CFG, enable_tracker=False, enable_miso=True)
+    n = 4
+    blocks = _blocks_for(unit.pipelines[0].points, (0, 0, 0), (0.5, 0.3, 5.0), n, 0)
+    sink = str(tmp_path / "sink.pcm")
+    summary = unit.run(
+        [blocks], n_blocks=n, play="miso",
+        player_command=["sh", "-c", f"cat > {sink}"],
+    )
+    audio = summary["audio"]
+    assert audio["queued"] == n and audio["dropped"] == 0
+    assert audio["played"] == n  # close() joins the writer before summary
+
+
+def test_audio_player_bounded_buffer_drops():
+    """A stalled consumer (never reads the pipe) fills the bounded queue;
+    further blocks are DROPPED and counted instead of stalling the block
+    cadence (the reference's device-clocked PortAudio buffer contract)."""
+    from beamforming_lk_tpu.io.audio_out import AudioPlayer
+
+    p = AudioPlayer(
+        48828.0, command=["sh", "-c", "sleep 30"], max_buffer_blocks=2
+    )
+    big = np.zeros(65536, np.float32)  # 128 KiB PCM > pipe capacity
+    for _ in range(8):
+        p.play(big)
+    st = p.stats()
+    assert st["queued"] + st["dropped"] == 8
+    assert st["dropped"] >= 3 and st["max_depth"] >= 1
+    p.close()  # terminates the wedged player instead of hanging
+    assert p.stats()["dropped"] >= 3
+
+
+def test_logo_overlay_composited():
+    """--logo composites into the top-left corner (alpha-blended for RGBA),
+    like the reference's logo copy in the UI loop."""
+    logo = np.full((10, 20, 3), 200, np.uint8)
+    unit = ControlUnit(CFG, enable_tracker=False, enable_miso=False, logo=logo)
+    blocks = _blocks_for(unit.pipelines[0].points, (0, 0, 0), (0.5, 0.3, 5.0), 1, 0)
+    unit.process([blocks[0]])
+    frame = unit.render_frame()
+    assert tuple(frame[0, 0]) == (200, 200, 200)
+    lh = unit._logo.shape[0]
+    assert lh == unit.frame_size // 6
+
+    # Fully transparent RGBA logo leaves the frame untouched.
+    unit2 = ControlUnit(CFG, enable_tracker=False, enable_miso=False)
+    unit2.process([blocks[0]])
+    base = unit2.render_frame()
+    rgba = np.zeros((10, 20, 4), np.uint8)
+    unit3 = ControlUnit(CFG, enable_tracker=False, enable_miso=False, logo=rgba)
+    unit3.process([blocks[0]])
+    np.testing.assert_array_equal(unit3.render_frame(), base)
+
+
+def test_cli_heatmap_chunk_replay(tmp_path, capsys):
+    """--heatmap-chunk N runs the chunked-streaming program from the CLI
+    (replay batch defaults to the chunk) and renders the same heatmap as
+    the per-block path."""
+    from beamforming_lk_tpu.app.cli import main
+    from beamforming_lk_tpu.utils.png import read_png
+
+    frames = {}
+    for name, extra in {"plain": [], "chunk": ["--heatmap-chunk", "4"]}.items():
+        out_dir = str(tmp_path / name)
+        rc = main(
+            ["--mimo", "--blocks", "8", "--mimo-res", "16", "--fps",
+             "--output-dir", out_dir, "--render-every", "8",
+             "--synthetic-source", "20", "45", "5000"] + extra
+        )
+        assert rc == 0
+        assert '"blocks": 8' in capsys.readouterr().out
+        files = sorted(os.listdir(out_dir))
+        assert files, name
+        frames[name] = read_png(os.path.join(out_dir, files[-1])).astype(int)
+    assert np.abs(frames["chunk"] - frames["plain"]).max() <= 1

@@ -198,3 +198,30 @@ def test_tracker_converges_with_horizontal_probes():
     ph = np.asarray(targets.phi)[valid]
     d = np.degrees(np.asarray(spherical_angle(th, ph, src_theta, src_phi)))
     assert d.min() < 10.0, f"closest tracker {d.min():.1f} deg away"
+
+
+def test_pallas_chain_fallback_emits_note(capsys):
+    """probe_kernel='pallas' outside the kernel's coverage (FIR interp,
+    horizontal probes, sharded channels) falls back to the XLA chain WITH
+    a one-line stderr note (mirrors the fft->dense heatmap note)."""
+    from beamforming_lk_tpu.config import ArrayConfig, DspConfig, TrackerConfig
+    from beamforming_lk_tpu.models.tracker import make_swarm_step_impl
+
+    make_swarm_step_impl(
+        TrackerConfig(probe_kernel="pallas"), DspConfig(interp="fir"),
+        ArrayConfig(),
+    )
+    err = capsys.readouterr().err
+    assert "pallas" in err and "unavailable" in err and "fir" in err
+
+    make_swarm_step_impl(
+        TrackerConfig(probe_kernel="pallas", probe_layout="horizontal"),
+        DspConfig(), ArrayConfig(),
+    )
+    assert "horizontal" in capsys.readouterr().err
+
+    # The supported configuration stays silent.
+    make_swarm_step_impl(
+        TrackerConfig(probe_kernel="pallas"), DspConfig(), ArrayConfig(),
+    )
+    assert "unavailable" not in capsys.readouterr().err

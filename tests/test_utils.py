@@ -134,3 +134,57 @@ def test_draw_text_and_age_labels():
     )
     without = overlay_targets(np.zeros((64, 64, 3), np.uint8), tgts)
     assert (with_age > 0).sum() > (without > 0).sum()
+
+
+def test_read_png_round_trip(tmp_path):
+    from beamforming_lk_tpu.utils.png import read_png, write_png
+
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, (13, 9, 3), np.uint8)
+    gray = rng.integers(0, 256, (7, 5), np.uint8)
+    write_png(str(tmp_path / "rgb.png"), rgb)
+    write_png(str(tmp_path / "gray.png"), gray)
+    np.testing.assert_array_equal(read_png(str(tmp_path / "rgb.png")), rgb)
+    np.testing.assert_array_equal(read_png(str(tmp_path / "gray.png")), gray)
+
+
+def test_read_png_all_filters(tmp_path):
+    """Decode rows under every PNG filter type (0/1/2/3/4) and RGBA —
+    external logos use whatever their encoder picked."""
+    import struct
+    import zlib
+
+    from beamforming_lk_tpu.utils.png import read_png
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (5, 4, 4), np.int32)  # RGBA
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride)
+
+    def paeth(a, b, c):
+        pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for y, ft in enumerate([0, 1, 2, 3, 4]):
+        raw.append(ft)
+        up = flat[y - 1] if y > 0 else np.zeros(stride, np.int32)
+        for x in range(stride):
+            a = flat[y][x - ch] if x >= ch else 0
+            b = up[x]
+            c = up[x - ch] if x >= ch else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[ft]
+            raw.append(int(flat[y][x] - pred) & 0xFF)
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    path = str(tmp_path / "filt.png")
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)))
+        f.write(chunk(b"IDAT", zlib.compress(bytes(raw))))
+        f.write(chunk(b"IEND", b""))
+    np.testing.assert_array_equal(read_png(path), img.astype(np.uint8))
