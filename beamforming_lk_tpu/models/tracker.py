@@ -303,6 +303,23 @@ def _merge_trackers(trackers: Particles, tracking, start, closeness: float):
     return tracking & ~stop
 
 
+def _swarm_jumps(key, n_iter: int, n_seekers: int, jump: float):
+    """Pre-generate the seeker jump-offset sequence for the whole-swarm
+    Pallas kernel with the EXACT key schedule of the XLA iteration scan
+    (``key, k1, k2 = split(key, 3)`` per iteration) — the kernel has no
+    RNG, and matching the schedule keeps the two backends on the same
+    random trajectory.  Returns (final_key, jt[n_iter, Ns], jp[...])."""
+
+    def body(k, _):
+        k, k1, k2 = jax.random.split(k, 3)
+        jt = (jax.random.uniform(k1, (n_seekers,)) * 2.0 - 1.0) * jump
+        jp = (jax.random.uniform(k2, (n_seekers,)) * 2.0 - 1.0) * jump
+        return k, (jt, jp)
+
+    key, (jts, jps) = jax.lax.scan(body, key, None, length=n_iter)
+    return key, jts, jps
+
+
 def make_swarm_step_impl(
     cfg: TrackerConfig,
     dsp: DspConfig,
@@ -348,6 +365,21 @@ def make_swarm_step_impl(
     use_pallas_chain = _use_pallas_chain(cfg, dsp, axis_name)
 
     t_len = dsp.block_size
+    nt, ns = cfg.n_trackers, cfg.n_seekers
+    # Per-particle dynamics + family one-hots for the whole-swarm kernel's
+    # [trackers | seekers] row layout (no miso row in the unfused impl).
+    rates_ts = jnp.asarray(
+        [cfg.tracker_step_gain * cfg.tracker_spread] * nt
+        + [cfg.seeker_step_gain * cfg.seeker_spread] * ns,
+        jnp.float32,
+    )
+    spreads_ts = jnp.asarray(
+        [cfg.tracker_spread] * nt + [cfg.seeker_spread] * ns, jnp.float32
+    )
+    fam_ts_np = np.zeros((3, nt + ns), np.float32)
+    fam_ts_np[0, :nt] = 1.0
+    fam_ts_np[1, nt:] = 1.0
+    fam_ts = jnp.asarray(fam_ts_np)
 
     def step(state: SwarmState, window, block_index, points, channel_mask):
         # Hoist the probe-window unfold (and compute-dtype cast) out of the
@@ -379,28 +411,6 @@ def make_swarm_step_impl(
             ).astype(unf_dtype)
             interpret = jax.default_backend() != "tpu"
 
-            def tracker_chain(trackers, tracking):
-                """The tracker_steps sub-step chain as one kernel call
-                (ops/pallas_tracker.py) — same schedule as the lax.scan of
-                mono() below, trackers only."""
-                act = jnp.broadcast_to(
-                    tracking, (cfg.tracker_steps, cfg.n_trackers)
-                )
-                th, ph, gt, gp, rad, err = ptk.monopulse_chain_pallas(
-                    xyz, win_bp, trackers.theta, trackers.phi,
-                    jnp.full((cfg.n_trackers,),
-                             cfg.tracker_step_gain * cfg.tracker_spread,
-                             jnp.float32),
-                    jnp.full((cfg.n_trackers,), cfg.tracker_spread,
-                             jnp.float32),
-                    act,
-                    state0=(trackers.grad_theta, trackers.grad_phi,
-                            trackers.radius, trackers.error),
-                    span=span_eff, theta_limit=cfg.theta_limit,
-                    divisor=float(t_len), interpret=interpret,
-                )
-                return Particles(th, ph, gt, gp, rad, err)
-
         # --- Reference power: bandpass power of channel 0's raw block
         # (gradient_ascend.cpp:304-313). The beamformed block sits at window
         # offset (S - taps).  Under channel sharding, global channel 0 lives
@@ -424,26 +434,69 @@ def make_swarm_step_impl(
         trackers, tracking, start = state.trackers, state.tracking, state.start
         mean = state.mean
 
+        if use_pallas_chain:
+            # Whole swarm update — all iterations' sub-step chains and their
+            # merge/jump/promote boundaries — in ONE pallas_call (see
+            # make_fused_step_impl for the schedule notes).
+            key, jts, jps = _swarm_jumps(
+                key, cfg.iterations, ns, cfg.theta_limit / 2.0
+            )
+            zt = jnp.zeros((cfg.iterations, nt), jnp.float32)
+            jt_full = jnp.concatenate([zt, jts], axis=1)
+            jp_full = jnp.concatenate([zt, jps], axis=1)
+            pad_s = jnp.zeros((ns,), jnp.float32)
+            comb = jax.tree.map(
+                lambda *leaves: jnp.concatenate(leaves), trackers, seekers
+            )
+            tgt = jnp.stack([
+                jnp.concatenate([state.target_theta, pad_s]),
+                jnp.concatenate([state.target_phi, pad_s]),
+                jnp.concatenate(
+                    [state.target_valid.astype(jnp.float32), pad_s]
+                ),
+            ])
+            (th, ph, gt, gp, rad, err, trk_o, start_o, mean) = (
+                ptk.swarm_chain_pallas(
+                    xyz, win_bp, comb.theta, comb.phi, rates_ts, spreads_ts,
+                    (comb.grad_theta, comb.grad_phi, comb.radius,
+                     comb.error),
+                    fam_ts,
+                    jnp.concatenate(
+                        [tracking.astype(jnp.float32), pad_s]
+                    ),
+                    jnp.concatenate([start, pad_s]),
+                    tgt, jt_full, jp_full, block_index,
+                    n_iter=cfg.iterations, n_sub=cfg.tracker_steps,
+                    refine=0, n_trackers=nt, span=span_eff,
+                    theta_limit=cfg.theta_limit, divisor=float(t_len),
+                    closeness=cfg.tracker_closeness,
+                    error_threshold=cfg.error_threshold,
+                    interpret=interpret,
+                )
+            )
+            combo = Particles(th, ph, gt, gp, rad, err)
+            trackers = jax.tree.map(lambda x: x[:nt], combo)
+            seekers = jax.tree.map(lambda x: x[nt:], combo)
+            tracking = trk_o[:nt] > 0.5
+            start = start_o[:nt]
+
         def iteration(carry, _):
             seekers, trackers, tracking, start, mean, key = carry
 
             # Trackers: trackerSteps sub-steps at slowed rate
             # (gradient_ascend.cpp:323-330).
-            if use_pallas_chain:
-                trackers = tracker_chain(trackers, tracking)
-            else:
-                def tracker_substep(tr, _):
-                    tr = mono(
-                        tr,
-                        tracking,
-                        rate=cfg.tracker_step_gain * cfg.tracker_spread,
-                        spread=cfg.tracker_spread,
-                    )
-                    return tr, None
-
-                trackers, _ = jax.lax.scan(
-                    tracker_substep, trackers, None, length=cfg.tracker_steps
+            def tracker_substep(tr, _):
+                tr = mono(
+                    tr,
+                    tracking,
+                    rate=cfg.tracker_step_gain * cfg.tracker_spread,
+                    spread=cfg.tracker_spread,
                 )
+                return tr, None
+
+            trackers, _ = jax.lax.scan(
+                tracker_substep, trackers, None, length=cfg.tracker_steps
+            )
             n_tracking = jnp.sum(tracking)
 
             # Merge close trackers (oldest wins).
@@ -497,12 +550,13 @@ def make_swarm_step_impl(
             mean = jnp.sum(jnp.where(valid, seekers.radius, 0.0)) / n_valid
             return (seekers, trackers, tracking, start, mean, key), None
 
-        (seekers, trackers, tracking, start, mean, key), _ = jax.lax.scan(
-            iteration,
-            (seekers, trackers, tracking, start, mean, key),
-            None,
-            length=cfg.iterations,
-        )
+        if not use_pallas_chain:
+            (seekers, trackers, tracking, start, mean, key), _ = jax.lax.scan(
+                iteration,
+                (seekers, trackers, tracking, start, mean, key),
+                None,
+                length=cfg.iterations,
+            )
 
         # Publish: prune weak/diverged trackers (gradient_ascend.cpp:398-408),
         # plus the sidelobe gate (see TrackerConfig.min_power_fraction).
@@ -641,6 +695,12 @@ def make_fused_step_impl(
     spreads_tm = jnp.asarray(
         [cfg.tracker_spread] * (nt + 1), jnp.float32
     )
+    # Family one-hots for the whole-swarm kernel's row layout.
+    fam_np = np.zeros((3, nt + ns + 1), np.float32)
+    fam_np[0, :nt] = 1.0
+    fam_np[1, nt:nt + ns] = 1.0
+    fam_np[2, nt + ns:] = 1.0
+    fam = jnp.asarray(fam_np)
     t_len = dsp.block_size
 
     def concat_p(*groups: Particles) -> Particles:
@@ -702,43 +762,59 @@ def make_fused_step_impl(
         )
         tracking, start, mean = state.tracking, state.start, state.mean
 
-        def pallas_chain(trackers, seekers, miso_p, tracking, it_idx):
-            """One iteration's whole sub-step chain as one kernel call.
-
-            Per-sub-step row masks reproduce the XLA chain's group
-            schedule exactly: trackers step every sub-step (gated by
-            ``tracking``), seekers only on sub-step 0, the MISO listener
-            while its refine budget (global slot index) lasts.
-            """
+        if use_pallas_chain:
+            # The WHOLE swarm update — every iteration's sub-step chain AND
+            # its merge/jump/promote boundary — as ONE pallas_call
+            # (ops/pallas_tracker.py::swarm_chain_pallas): particle state
+            # never leaves VMEM between iterations, and the per-iteration
+            # kernel-launch + XLA-glue overhead disappears.  The seeker
+            # jump randoms are pre-generated with the XLA path's exact key
+            # schedule, so both backends follow the same trajectory.
             from beamforming_lk_tpu.ops import pallas_tracker as ptk
 
-            comb = concat_p(trackers, seekers, miso_p)
-            j_idx = jnp.arange(cfg.tracker_steps)
-            slots = it_idx * cfg.tracker_steps + j_idx
-            act = jnp.concatenate(
-                [
-                    jnp.broadcast_to(tracking, (cfg.tracker_steps, nt)),
-                    jnp.broadcast_to(
-                        (j_idx == 0)[:, None], (cfg.tracker_steps, ns)
+            key, jts, jps = _swarm_jumps(
+                key, cfg.iterations, ns, cfg.theta_limit / 2.0
+            )
+            zt = jnp.zeros((cfg.iterations, nt), jnp.float32)
+            zm = jnp.zeros((cfg.iterations, 1), jnp.float32)
+            jt_full = jnp.concatenate([zt, jts, zm], axis=1)
+            jp_full = jnp.concatenate([zt, jps, zm], axis=1)
+            pad_sm = jnp.zeros((ns + 1,), jnp.float32)
+            comb = concat_p(state.trackers, seekers, miso_particle)
+            tgt = jnp.stack([
+                jnp.concatenate([state.target_theta, pad_sm]),
+                jnp.concatenate([state.target_phi, pad_sm]),
+                jnp.concatenate(
+                    [state.target_valid.astype(jnp.float32), pad_sm]
+                ),
+            ])
+            (th, ph, gt, gp, rad, err, trk_o, start_o, mean) = (
+                ptk.swarm_chain_pallas(
+                    xyz, win_bp, comb.theta, comb.phi,
+                    rates_tsm, spreads_tsm,
+                    (comb.grad_theta, comb.grad_phi, comb.radius,
+                     comb.error),
+                    fam,
+                    jnp.concatenate(
+                        [tracking.astype(jnp.float32), pad_sm]
                     ),
-                    (slots < miso_refine_steps)[:, None],
-                ],
-                axis=1,
+                    jnp.concatenate([start, pad_sm]),
+                    tgt, jt_full, jp_full, block_index,
+                    n_iter=cfg.iterations, n_sub=cfg.tracker_steps,
+                    refine=miso_refine_steps, n_trackers=nt,
+                    span=span_eff, theta_limit=cfg.theta_limit,
+                    divisor=float(t_len),
+                    closeness=cfg.tracker_closeness,
+                    error_threshold=cfg.error_threshold,
+                    interpret=interpret,
+                )
             )
-            th, ph, gt, gp, rad, err = ptk.monopulse_chain_pallas(
-                xyz, win_bp, comb.theta, comb.phi, rates_tsm, spreads_tsm,
-                act,
-                state0=(comb.grad_theta, comb.grad_phi, comb.radius,
-                        comb.error),
-                span=span_eff, theta_limit=cfg.theta_limit,
-                divisor=float(t_len), interpret=interpret,
-            )
-            comb = Particles(th, ph, gt, gp, rad, err)
-            return (
-                jax.tree.map(lambda x: x[:nt], comb),
-                jax.tree.map(lambda x: x[nt:nt + ns], comb),
-                jax.tree.map(lambda x: x[nt + ns:], comb),
-            )
+            combo = Particles(th, ph, gt, gp, rad, err)
+            trackers = jax.tree.map(lambda x: x[:nt], combo)
+            seekers = jax.tree.map(lambda x: x[nt:nt + ns], combo)
+            miso_p = jax.tree.map(lambda x: x[nt + ns:], combo)
+            tracking = trk_o[:nt] > 0.5
+            start = start_o[:nt]
 
         def xla_chain(trackers, seekers, miso_p, tracking, it_idx):
             # Sub-step chain: group composition is static per sub-step
@@ -774,11 +850,9 @@ def make_fused_step_impl(
                     )
             return trackers, seekers, miso_p
 
-        chain = pallas_chain if use_pallas_chain else xla_chain
-
         def iteration(carry, it_idx):
             trackers, seekers, miso_p, tracking, start, mean, key = carry
-            trackers, seekers, miso_p = chain(
+            trackers, seekers, miso_p = xla_chain(
                 trackers, seekers, miso_p, tracking, it_idx
             )
             n_tracking = jnp.sum(tracking)
@@ -826,11 +900,15 @@ def make_fused_step_impl(
             mean = jnp.sum(jnp.where(valid, seekers.radius, 0.0)) / n_valid
             return (trackers, seekers, miso_p, tracking, start, mean, key), None
 
-        (trackers, seekers, miso_p, tracking, start, mean, key), _ = jax.lax.scan(
-            iteration,
-            (state.trackers, seekers, miso_particle, tracking, start, mean, key),
-            jnp.arange(cfg.iterations),
-        )
+        if not use_pallas_chain:
+            (trackers, seekers, miso_p, tracking, start, mean, key), _ = (
+                jax.lax.scan(
+                    iteration,
+                    (state.trackers, seekers, miso_particle, tracking,
+                     start, mean, key),
+                    jnp.arange(cfg.iterations),
+                )
+            )
 
         # Publish: prune weak/diverged trackers + sidelobe gate.
         weak = (

@@ -85,27 +85,17 @@ def fold_bandpass_window(unfolded):
     return bp
 
 
-def _chain_kernel(
-    xyz_ref,      # [4, C]  f32: spm*x, spm*y, spm*z + channel mask
-    win_ref,      # [span*C, Tp] compute dtype: bandpass-folded window
-    th_ref,       # [P, 1]  f32 initial theta
-    ph_ref,       # [P, 1]  f32 initial phi
-    st0_ref,      # [4, P, 1] f32 initial (grad_t, grad_p, radius, error)
-                  #           — passed through on never-active rows
-    rate_ref,     # [P, 1]  f32 per-particle step rate
-    spread_ref,   # [P, 1]  f32 per-particle probe spread
-    act_ref,      # [S, P, 1] f32 per-sub-step active mask (1 = step)
-    out_th, out_ph, out_gt, out_gp, out_rad, out_err,   # [P, 1] f32 each
-    *,
-    n_sub: int,
-    span: int,
-    taps: int,
-    theta_limit: float,
-    inv_divisor: float,
-    precision,
+def _make_substep(
+    xyz_ref, win_ref, rate_ref, spread_ref, *,
+    span, taps, theta_limit, inv_divisor, precision,
 ):
+    """Shared monopulse sub-step core: (active, carry6) -> carry6.
+
+    One [4P, C*span] MXU dot per call; all the probe/steering/stencil math
+    on the VPU.  Closured over the geometry/window refs so both the masked
+    chain kernel and the whole-swarm kernel reuse it verbatim."""
     c = xyz_ref.shape[1]
-    p = th_ref.shape[0]
+    p = rate_ref.shape[0]
     px = xyz_ref[0:1, :]                                   # [1, C]
     py = xyz_ref[1:2, :]
     pz = xyz_ref[2:3, :]
@@ -140,9 +130,8 @@ def _chain_kernel(
         uz = jnp.where(clipped, cos_tl, vz)
         return ux, uy, uz
 
-    def substep(i, carry):
+    def substep(active, carry):
         theta, phi, gt0, gp0, rad0, err0 = carry
-        active = act_ref[i] > 0.0                          # [P, 1]
         # FoV-edge back-off (ops/geometry.py::_edge_adjust).
         near = theta + spread > (np.pi / 2.0)
         rt = jnp.where(near, theta - spread, theta)
@@ -193,12 +182,43 @@ def _chain_kernel(
             jnp.where(active, err, err0),
         )
 
+    return substep
+
+
+def _chain_kernel(
+    xyz_ref,      # [4, C]  f32: spm*x, spm*y, spm*z + channel mask
+    win_ref,      # [span*C, Tp] compute dtype: bandpass-folded window
+    th_ref,       # [P, 1]  f32 initial theta
+    ph_ref,       # [P, 1]  f32 initial phi
+    st0_ref,      # [4, P, 1] f32 initial (grad_t, grad_p, radius, error)
+                  #           — passed through on never-active rows
+    rate_ref,     # [P, 1]  f32 per-particle step rate
+    spread_ref,   # [P, 1]  f32 per-particle probe spread
+    act_ref,      # [S, P, 1] f32 per-sub-step active mask (1 = step)
+    out_th, out_ph, out_gt, out_gp, out_rad, out_err,   # [P, 1] f32 each
+    *,
+    n_sub: int,
+    span: int,
+    taps: int,
+    theta_limit: float,
+    inv_divisor: float,
+    precision,
+):
+    substep = _make_substep(
+        xyz_ref, win_ref, rate_ref, spread_ref,
+        span=span, taps=taps, theta_limit=theta_limit,
+        inv_divisor=inv_divisor, precision=precision,
+    )
+
+    def body(i, carry):
+        return substep(act_ref[i] > 0.0, carry)
+
     carry = (
         th_ref[...], ph_ref[...],
         st0_ref[0], st0_ref[1], st0_ref[2], st0_ref[3],
     )
     theta, phi, gt, gp, rad, err = jax.lax.fori_loop(
-        0, n_sub, substep, carry
+        0, n_sub, body, carry
     )
     out_th[...] = theta
     out_ph[...] = phi
@@ -286,3 +306,307 @@ def monopulse_chain_pallas(
         col(rates), col(spreads), act,
     )
     return tuple(o[:p, 0] for o in outs)
+
+
+def _swarm_kernel(
+    xyz_ref,      # [4, C]  f32 geometry + channel mask
+    win_ref,      # [span*C, Tp] compute-dtype bandpass-folded window
+    th_ref,       # [P, 1]  f32 initial theta   (rows: trackers|seekers|miso)
+    ph_ref,       # [P, 1]  f32 initial phi
+    st0_ref,      # [4, P, 1] f32 initial (grad_t, grad_p, radius, error)
+    rate_ref,     # [P, 1]  f32 per-particle step rate
+    spread_ref,   # [P, 1]  f32 per-particle probe spread
+    fam_ref,      # [3, P, 1] f32 family one-hots (tracker, seeker, miso)
+    trk0_ref,     # [2, P, 1] f32 (tracking 0/1, start block) — tracker rows
+    tgt_ref,      # [3, P, 1] f32 previous block's published targets
+                  #           (theta, phi, valid) — tracker rows
+    jt_ref,       # [I, P, 1] f32 per-iteration seeker jump theta offsets
+    jp_ref,       # [I, P, 1] f32 per-iteration seeker jump phi offsets
+    bi_ref,       # [1, 1]  f32 block index (tracker start stamp)
+    out_th, out_ph, out_gt, out_gp, out_rad, out_err,   # [P, 1] f32
+    out_trk, out_start,                                  # [P, 1] f32
+    out_mean,                                            # [1, 1] f32
+    *,
+    n_iter: int,
+    n_sub: int,
+    refine: int,
+    span: int,
+    taps: int,
+    theta_limit: float,
+    inv_divisor: float,
+    cos_closeness: float,
+    error_threshold: float,
+    n_trackers: int,
+    precision,
+):
+    """The WHOLE per-block swarm update as one kernel: ``n_iter`` iterations
+    of [``n_sub`` chained monopulse sub-steps + merge + seeker jump +
+    promote] (``models/tracker.py`` iteration bodies,
+    gradient_ascend.cpp:301-409) with particle state resident in VMEM across
+    all of it.
+
+    In-kernel versions of the iteration-boundary logic, Mosaic-style:
+
+      scalar picks   one-hot ``sum(where(row_idx == n, v, 0))`` reductions
+                     instead of dynamic gathers
+      merge          fori over the ``n_trackers`` rows; geodesic closeness
+                     via ``cos(ang) > cos(closeness)`` (no arccos — Mosaic
+                     has no inverse trig), oldest/lowest-index survives
+      seeker jump    same loop checks seekers against the previous block's
+                     published targets; the random offsets are PRE-GENERATED
+                     outside with the exact key schedule of the XLA path
+      promote        max + first-index one-hot argmax of converged seekers;
+                     all free trackers start at the winner
+
+    Row layout: trackers (0..n_trackers-1) | seekers | optional miso row;
+    padded rows carry zero family one-hots so they never step, merge, or
+    promote.
+    """
+    p = th_ref.shape[0]
+    substep = _make_substep(
+        xyz_ref, win_ref, rate_ref, spread_ref,
+        span=span, taps=taps, theta_limit=theta_limit,
+        inv_divisor=inv_divisor, precision=precision,
+    )
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    is_tracker = fam_ref[0] > 0.5
+    is_seeker = fam_ref[1] > 0.5
+    is_miso = fam_ref[2] > 0.5
+    tgt_th, tgt_ph, tgt_va = tgt_ref[0], tgt_ref[1], tgt_ref[2]
+    bi = bi_ref[0:1, 0:1]
+    nt_f = float(n_trackers)
+    big_idx = jnp.int32(2**30)
+
+    def pick(oh, v):
+        """Scalar [1, 1] extraction of row n via a one-hot reduction."""
+        return jnp.sum(jnp.where(oh, v, 0.0), axis=0, keepdims=True)
+
+    def iteration(it, carry):
+        theta, phi, gt, gp, rad, err, tracking, start, mean = carry
+        trk_b = tracking > 0.5
+        state6 = (theta, phi, gt, gp, rad, err)
+        for j in range(n_sub):
+            # Trackers step while tracking; seekers ride sub-step 0; the
+            # miso row while its global refine budget (it*n_sub + j) lasts.
+            active = is_tracker & trk_b
+            if j == 0:
+                active = active | is_seeker
+            miso_on = (it * n_sub + j) < refine
+            active = active | (is_miso & miso_on)
+            state6 = substep(active, state6)
+            trk_b = tracking > 0.5  # unchanged inside the chain
+        theta, phi, gt, gp, rad, err = state6
+
+        # Pre-merge tracker count gates promotion (tracker.py iteration).
+        n_tracking = jnp.sum(jnp.where(trk_b, 1.0, 0.0), axis=0,
+                             keepdims=True)                      # [1, 1]
+
+        # --- merge close trackers (oldest / lowest index survives) and
+        # seeker avoidance vs the previous block's published targets —
+        # one fori over the tracker slots covers both.
+        cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+
+        def pair_body(nn, acc):
+            # f32 0/1 carries: Mosaic cannot carry i1 vectors through an
+            # scf loop (internal layout error), so flags ride as floats.
+            stop_f, tc_f = acc
+            oh = row_idx == nn
+            th_n = pick(oh, theta)
+            ph_n = pick(oh, phi)
+            trk_n = pick(oh, tracking)
+            st_n = pick(oh, start)
+            cos_ang = cos_t * jnp.cos(th_n) + sin_t * jnp.sin(th_n) * jnp.cos(
+                phi - ph_n
+            )
+            close = (
+                (cos_ang > cos_closeness)
+                & trk_b & (trk_n > 0.5) & (row_idx != nn) & is_tracker
+            )
+            older_n = (start > st_n) | ((start == st_n) & (row_idx > nn))
+            # Seeker side: distance to published target nn.
+            t_th = pick(oh, tgt_th)
+            t_ph = pick(oh, tgt_ph)
+            t_va = pick(oh, tgt_va)
+            cos_tg = cos_t * jnp.cos(t_th) + sin_t * jnp.sin(t_th) * jnp.cos(
+                phi - t_ph
+            )
+            near_t = (cos_tg > cos_closeness) & (t_va > 0.5)
+            return (
+                jnp.where(close & older_n, 1.0, stop_f),
+                jnp.where(near_t, 1.0, tc_f),
+            )
+
+        stop_f, tc_f = jax.lax.fori_loop(
+            0, n_trackers, pair_body,
+            (jnp.zeros((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32)),
+        )
+        tracking = jnp.where(stop_f > 0.5, 0.0, tracking)
+        too_close = (tc_f > 0.5) & is_seeker
+
+        # --- jump seekers out of capture zones (pre-generated offsets).
+        j_theta = jnp.clip(theta + jt_ref[it], 0.0, theta_limit)
+        j_phi_raw = phi + jp_ref[it]
+        j_phi = j_phi_raw - jnp.floor(j_phi_raw / _TWO_PI) * _TWO_PI
+        theta = jnp.where(too_close, j_theta, theta)
+        phi = jnp.where(too_close, j_phi, phi)
+
+        # --- promote the best converged seeker to ALL free trackers.
+        valid = is_seeker & ~too_close
+        converged = valid & (err < error_threshold)
+        pm = jnp.where(converged, rad, -3.0e38)
+        maxv = jnp.max(pm, axis=0, keepdims=True)
+        is_best = converged & (pm >= maxv)
+        idx_best = jnp.min(
+            jnp.where(is_best, row_idx, big_idx), axis=0, keepdims=True
+        )
+        oh_best = row_idx == idx_best
+        th_best = pick(oh_best, theta)
+        ph_best = pick(oh_best, phi)
+        better = jnp.max(
+            jnp.where(converged & (rad > 0.0), 1.0, 0.0),
+            axis=0, keepdims=True,
+        )
+        promote = (
+            (better > 0.5) & (n_tracking < nt_f)
+            & ~(tracking > 0.5) & is_tracker
+        )
+        theta = jnp.where(promote, th_best, theta)
+        phi = jnp.where(promote, ph_best, phi)
+        start = jnp.where(promote, bi, start)
+        tracking = jnp.where(promote, 1.0, tracking)
+
+        # --- mean valid-seeker power (prune threshold).
+        n_valid = jnp.maximum(
+            jnp.sum(jnp.where(valid, 1.0, 0.0), axis=0, keepdims=True), 1.0
+        )
+        mean = jnp.sum(
+            jnp.where(valid, rad, 0.0), axis=0, keepdims=True
+        ) / n_valid
+        return theta, phi, gt, gp, rad, err, tracking, start, mean
+
+    carry = (
+        th_ref[...], ph_ref[...],
+        st0_ref[0], st0_ref[1], st0_ref[2], st0_ref[3],
+        trk0_ref[0], trk0_ref[1], jnp.zeros((1, 1), jnp.float32),
+    )
+    theta, phi, gt, gp, rad, err, tracking, start, mean = jax.lax.fori_loop(
+        0, n_iter, iteration, carry
+    )
+    out_th[...] = theta
+    out_ph[...] = phi
+    out_gt[...] = gt
+    out_gp[...] = gp
+    out_rad[...] = rad
+    out_err[...] = err
+    out_trk[...] = tracking
+    out_start[...] = start
+    out_mean[...] = mean
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_iter", "n_sub", "refine", "n_trackers", "span", "taps",
+        "theta_limit", "divisor", "closeness", "error_threshold",
+        "interpret",
+    ),
+)
+def swarm_chain_pallas(
+    xyz,            # [4, C] from pack_geometry
+    window_bp,      # [span*C, Tp] from fold_bandpass_window (compute dtype)
+    theta, phi,     # [P] f32 — rows: trackers | seekers | (miso)
+    rates, spreads, # [P] f32
+    state0,         # (grad_t, grad_p, radius, error) [P] each
+    family,         # [3, P] f32 one-hots (tracker, seeker, miso)
+    tracking,       # [P] f32/bool — tracker rows' active flags
+    start,          # [P] f32 — tracker rows' start stamps
+    targets,        # [3, P] f32 previous published (theta, phi, valid)
+    jump_theta,     # [n_iter, P] f32 seeker jump offsets
+    jump_phi,       # [n_iter, P] f32
+    block_index,    # [] f32/int
+    *,
+    n_iter: int,
+    n_sub: int,
+    refine: int,
+    n_trackers: int,
+    span: int,
+    taps: int = dl.LINEAR_TAPS,
+    theta_limit: float,
+    divisor: float,
+    closeness: float,
+    error_threshold: float,
+    interpret: bool = False,
+):
+    """Run the whole per-block swarm update (all ``n_iter`` iterations with
+    their merge/jump/promote boundaries) in ONE ``pallas_call``.
+
+    Returns ``(theta, phi, grad_theta, grad_phi, radius, error, tracking,
+    start, mean)`` — the post-update combined particle rows plus the
+    tracker bookkeeping and the mean valid-seeker power, matching the XLA
+    iteration scan of ``models/tracker.py`` slot for slot.
+    """
+    p = theta.shape[0]
+    pad = (-p) % 32
+    pp_ = p + pad
+
+    def col(v):
+        v = jnp.asarray(v, jnp.float32).reshape(p, 1)
+        return jnp.pad(v, ((0, pad), (0, 0)))
+
+    def stack3(vs):
+        return jnp.stack([col(v) for v in vs])
+
+    st0 = jnp.stack([col(s) for s in state0])
+    jt = jnp.pad(
+        jnp.asarray(jump_theta, jnp.float32).reshape(n_iter, p, 1),
+        ((0, 0), (0, pad), (0, 0)),
+    )
+    jp = jnp.pad(
+        jnp.asarray(jump_phi, jnp.float32).reshape(n_iter, p, 1),
+        ((0, 0), (0, pad), (0, 0)),
+    )
+    bi = jnp.asarray(block_index, jnp.float32).reshape(1, 1)
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if window_bp.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    kern = functools.partial(
+        _swarm_kernel,
+        n_iter=n_iter,
+        n_sub=n_sub,
+        refine=refine,
+        span=span,
+        taps=taps,
+        theta_limit=float(theta_limit),
+        inv_divisor=1.0 / float(divisor),
+        cos_closeness=float(np.cos(closeness)),
+        error_threshold=float(error_threshold),
+        n_trackers=n_trackers,
+        precision=precision,
+    )
+    out_sds = [jax.ShapeDtypeStruct((pp_, 1), jnp.float32)] * 8 + [
+        jax.ShapeDtypeStruct((1, 1), jnp.float32)
+    ]
+    k = window_bp.shape[0]
+    tp = window_bp.shape[1]
+    total_sub = n_iter * n_sub
+    outs = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        out_shape=out_sds,
+        cost_estimate=pl.CostEstimate(
+            flops=total_sub * (2 * 4 * pp_ * k * tp + 80 * pp_ * k),
+            bytes_accessed=k * tp * window_bp.dtype.itemsize
+            + total_sub * 4 * pp_ * k * 4,
+            transcendentals=total_sub * 4 * 10 * pp_,
+        ),
+        interpret=interpret,
+    )(
+        xyz, window_bp, col(theta), col(phi), st0,
+        col(rates), col(spreads),
+        stack3(family), stack3([tracking, start]),
+        stack3(targets), jt, jp, bi,
+    )
+    return tuple(o[:p, 0] for o in outs[:8]) + (outs[8][0, 0],)

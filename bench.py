@@ -373,6 +373,32 @@ def main():
         if not pending:
             break
 
+    # Run-to-run variance of the headline variant: tunnel jitter has
+    # produced +/-40 % swings in single measurements across rounds (the
+    # r01->r03 fft_bf16 delta, docs/performance.md "variance &
+    # methodology").  Re-measure the best variant a few times, report the
+    # spread, and emit the MEDIAN as the headline.
+    try:
+        if results:
+            best_name = max(results, key=results.get)
+            spec = variants[best_name]
+            scan_n, hist0, blk = build_scan(spec)
+            reps = [results[best_name]]
+            for _ in range(3):
+                reps.append(timed_rate(scan_n, hist0, blk, spec["params"]))
+            reps_s = sorted(reps)
+            med = reps_s[len(reps_s) // 2]
+            results[best_name] = med
+            print(
+                f"# jitter {best_name}: n={len(reps)} min={reps_s[0]:.0f} "
+                f"median={med:.0f} max={reps_s[-1]:.0f} blocks/s "
+                f"(spread {100 * (reps_s[-1] - reps_s[0]) / med:.0f}% of "
+                f"median; headline = median)",
+                file=sys.stderr,
+            )
+    except Exception as e:
+        print(f"# jitter measurement failed: {e}", file=sys.stderr)
+
     # Plane-wave parity: noise blocks cannot validate the fft variants
     # (different fractional-delay interpolation reweights broadband noise),
     # so beamform a KNOWN synthetic source and assert every variant peaks

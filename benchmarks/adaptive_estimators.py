@@ -45,7 +45,9 @@ def build_model():
     """(state_init, impl operands, n_bins) with the steering planes built
     on device from the small delay table."""
     arr = ArrayConfig()
-    points = ant.multi_array_cluster(2, 2)  # 256 mics (bench.py geometry)
+    points = ant.multi_array_cluster(
+        256, arr.columns, arr.rows, arr.distance
+    )  # 256 mics, 2x2 coherent cluster (bench.py geometry)
     theta, phi = mm.make_mimo_grid(MimoConfig(rows=GRID, columns=GRID))
     delays = ant.steering_delays_np(
         points, theta, phi, arr.samples_per_meter

@@ -1,0 +1,78 @@
+"""One guarded attempt to compile + run the whole-swarm Pallas kernel
+(ops/pallas_tracker.py::swarm_chain_pallas) on the real TPU.
+
+Usage: timeout 900 python scripts/try_swarm_kernel_tpu.py [iters] [subs]
+
+Run in its own process (a Mosaic hang must only cost that process).
+Compiles the kernel at the deployment shape (16 seekers + 10 trackers +
+miso row, span 32), runs a few blocks, and prints compile time plus a
+parity check against the XLA iteration scan evaluated on the SAME device.
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from beamforming_lk_tpu.config import ArrayConfig, DspConfig, TrackerConfig
+from beamforming_lk_tpu.io import ring as rg
+from beamforming_lk_tpu.io.synthetic import plane_wave_block
+from beamforming_lk_tpu.models import tracker as tk
+from beamforming_lk_tpu.ops import antenna as ant
+
+
+def main():
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    subs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    acfg, dsp = ArrayConfig(), DspConfig()
+    pts = ant.create_antenna_grid(8, 8, 0.02)
+    src = (0.5, 1.2, 5000.0)
+    print(f"# device={jax.devices()[0].device_kind} iters={iters} "
+          f"subs={subs} compiling...", flush=True)
+
+    states = {}
+    times = {}
+    for kern in ("pallas", "xla"):
+        cfg = TrackerConfig(iterations=iters, tracker_steps=subs,
+                            probe_kernel=kern)
+        step = tk.make_swarm_step(pts, cfg, dsp, acfg)
+        state = tk.swarm_init(cfg, jax.random.PRNGKey(7))
+        state = state._replace(
+            trackers=state.trackers._replace(
+                theta=state.trackers.theta.at[:2].set(
+                    jnp.asarray([0.52, 0.53])),
+                phi=state.trackers.phi.at[:2].set(jnp.asarray([1.2, 1.21])),
+            ),
+            tracking=state.tracking.at[:2].set(True),
+            start=state.start.at[:2].set(jnp.asarray([1.0, 2.0])),
+        )
+        hist = rg.ring_init(64, dsp.history)
+        t0 = time.time()
+        for i in range(4):
+            blk = plane_wave_block(pts, [src], i * 256, 256, acfg,
+                                   noise_std=0.01,
+                                   rng=np.random.default_rng(i))
+            hist = rg.ring_push(hist, jnp.asarray(blk))
+            window = rg.ring_window(hist, dsp.block_size, dsp.shift_range, 2)
+            state, targets = step(state, window, jnp.int32(i))
+            if i == 0:
+                np.asarray(targets.valid)  # force first compile
+                times[kern] = time.time() - t0
+        states[kern] = jax.tree.map(np.asarray, state)
+        print(f"# {kern}: first-block (incl compile) {times[kern]:.1f}s",
+              flush=True)
+
+    a, b = states["xla"], states["pallas"]
+    flags_equal = bool((a.tracking == b.tracking).all())
+    dtheta = float(np.abs(a.trackers.theta - b.trackers.theta).max())
+    ok = flags_equal and dtheta < 5e-3
+    print(f"{'PASS' if ok else 'FAIL'} swarm_chain_pallas TPU: "
+          f"flags_equal={flags_equal} max_dtheta={dtheta:.2e} "
+          f"compile={times['pallas']:.1f}s")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

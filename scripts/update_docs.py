@@ -1,0 +1,200 @@
+"""Regenerate the measured-numbers blocks in the perf docs from
+``docs/measurements.json`` — ONE source of truth, so doc drift becomes a
+diff instead of a prose hunt.
+
+Docs carry marked regions::
+
+    <!-- measured:BEGIN kernel-ladder -->
+    ...generated, do not hand-edit...
+    <!-- measured:END kernel-ladder -->
+
+Usage:
+    python scripts/update_docs.py          # rewrite the blocks in place
+    python scripts/update_docs.py --check  # exit 1 if any doc is stale
+                                           # (tests/test_docs.py runs this)
+
+Workflow when numbers change: run the benchmark, copy its stderr numbers
+into docs/measurements.json, run this script, commit the diff.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MEASURES = os.path.join(REPO, "docs", "measurements.json")
+DOCS = ["README.md", "PARITY.md", "docs/performance.md",
+        "benchmarks/README.md"]
+
+SAMPLE_RATE = 48828.0
+BLOCK = 256
+
+
+def rt(blocks_per_s: float) -> float:
+    return blocks_per_s * BLOCK / SAMPLE_RATE
+
+
+def fmt(v: float, nd: int = 1) -> str:
+    s = f"{v:,.{nd}f}".replace(",", " ")  # thin-space thousands
+    return s
+
+
+KERNEL_NAMES = [
+    ("dense_f32_highest", "dense f32 (HIGHEST) — parity stencil"),
+    ("dense_bf16", "dense bf16 (f32 accumulate)"),
+    ("pallas_f32", "pallas on-the-fly stencil f32"),
+    ("pallas_bf16", "pallas on-the-fly stencil bf16"),
+    ("fft_f32", "fft separable f32"),
+    ("fft_bf16", "fft separable bf16"),
+    ("fft_bf16_lat", "fft bf16, lattice-ordered ingest"),
+    ("fft_bf16_x8_pl", "fft bf16 chunked ×8, Pallas power stage"),
+    ("fft_bf16_x8", "**fft bf16 chunked streaming (×8/dispatch)**"),
+]
+
+FUSED_NAMES = [
+    ("f32", "full f32 (parity profile, 10 iterations)"),
+    ("bf16_mimo", "bf16 heatmap, f32 probes"),
+    ("bf16_all", "bf16 heatmap + bf16 probes"),
+    ("bf16_fft", "+ fft heatmap backend"),
+    ("bf16_fft_pallas", "+ whole-swarm Pallas kernel (10 iterations)"),
+    ("bf16_fft_iter2", "real-time cadence (`iterations=2`), XLA chain"),
+    ("bf16_fft_iter2_pallas",
+     "**real-time cadence + whole-swarm Pallas kernel**"),
+]
+
+
+def gen_kernel_ladder(m: dict) -> str:
+    rows = ["| kernel | blocks/s | × real-time |", "|---|---|---|"]
+    for key, label in KERNEL_NAMES:
+        v = m["bench"].get(key)
+        if v is None:
+            continue
+        bold = label.startswith("**")
+        b = "**" if bold else ""
+        rows.append(
+            f"| {label} | {b}{fmt(v, 0)}{b} | {b}{fmt(rt(v))}{b} |"
+        )
+    best = max(m["bench"].values())
+    rows.append("")
+    rows.append(
+        f"Headline: **{fmt(best, 0)} blocks/s = {fmt(rt(best))}× real time** "
+        f"(vs_baseline **{fmt(m['vs_baseline'], 1)}×** the reference's "
+        f"implied AVX2 real-time envelope); single-dispatch fft bf16 runs "
+        f"{fmt(rt(m['bench']['fft_bf16']))}×. Headline is the MEDIAN of "
+        f"repeated runs; bench.py prints the min/median/max jitter line "
+        f"(spread ±{m['bench_jitter_pct']} % run-to-run through the "
+        f"tunnel)."
+    )
+    return "\n".join(rows)
+
+
+def gen_fused_ladder(m: dict) -> str:
+    rows = ["| config | blocks/s | × real-time |", "|---|---|---|"]
+    for key, label in FUSED_NAMES:
+        v = m["fused"].get(key)
+        if v is None:
+            continue
+        bold = label.startswith("**")
+        b = "**" if bold else ""
+        rows.append(f"| {label} | {b}{fmt(v, 0)}{b} | {b}{fmt(rt(v))}{b} |")
+    return "\n".join(rows)
+
+
+def gen_estimators(m: dict) -> str:
+    e = m["estimators"]
+    if e.get("mvdr") is None or e.get("music") is None:
+        return ("*(pending: run `benchmarks/adaptive_estimators.py` and "
+                "record the numbers in docs/measurements.json)*")
+    return (
+        "| estimator | blocks/s | × real-time |\n|---|---|---|\n"
+        f"| MVDR (Capon), 64 mics × 4225 dirs × 11 bins | "
+        f"{fmt(e['mvdr'], 0)} | {fmt(rt(e['mvdr']))} |\n"
+        f"| MUSIC, same workload (eigh per bin) | "
+        f"{fmt(e['music'], 0)} | {fmt(rt(e['music']))} |\n\n"
+        f"Measured by `benchmarks/adaptive_estimators.py` on the chip "
+        f"(chained-scan methodology; the estimators ride "
+        f"`AwpuPipeline.process_blocks`' attached scan in the app)."
+    )
+
+
+def gen_headline(m: dict) -> str:
+    best = max(v for v in m["bench"].values() if v is not None)
+    fused = max(v for v in m["fused"].values() if v is not None)
+    cli = m["cli_replay"].get("realtime_x")
+    cli_clause = (
+        f"; CLI synthetic replay {fmt(cli)}× real time end-to-end "
+        f"(`--heatmap-chunk {m['cli_replay']['chunk']}`)"
+        if cli is not None
+        else ""
+    )
+    return (
+        f"Measured on one TPU v5e chip (median of repeated runs; "
+        f"`docs/measurements.json` is the single source every figure "
+        f"here quotes): streaming DAS heatmap at the 256-mic × 4225-dir "
+        f"north star **{fmt(rt(best))}× real time** "
+        f"({fmt(best, 0)} blocks/s chunked, "
+        f"vs_baseline {fmt(m['vs_baseline'], 1)}×; "
+        f"{fmt(rt(m['bench']['fft_bf16']))}× single-dispatch); full fused "
+        f"step (heatmap + tracker swarm + MISO) "
+        f"**{fmt(rt(fused))}× real time** at the deployment cadence"
+        f"{cli_clause}."
+    )
+
+
+GENERATORS = {
+    "kernel-ladder": gen_kernel_ladder,
+    "fused-ladder": gen_fused_ladder,
+    "estimators": gen_estimators,
+    "headline": gen_headline,
+}
+
+MARK = re.compile(
+    r"(<!-- measured:BEGIN ([\w-]+) -->\n)(.*?)(<!-- measured:END \2 -->)",
+    re.S,
+)
+
+
+def render(text: str, m: dict, path: str) -> str:
+    def sub(match):
+        name = match.group(2)
+        if name not in GENERATORS:
+            raise SystemExit(f"{path}: unknown measured block {name!r}")
+        body = GENERATORS[name](m).rstrip() + "\n"
+        return match.group(1) + body + match.group(4)
+
+    return MARK.sub(sub, text)
+
+
+def main() -> int:
+    check = "--check" in sys.argv
+    with open(MEASURES) as f:
+        m = json.load(f)
+    stale = []
+    for rel in DOCS:
+        path = os.path.join(REPO, rel)
+        with open(path) as f:
+            text = f.read()
+        new = render(text, m, rel)
+        if new != text:
+            stale.append(rel)
+            if not check:
+                with open(path, "w") as f:
+                    f.write(new)
+    if check and stale:
+        print(
+            "stale measured blocks (run scripts/update_docs.py): "
+            + ", ".join(stale)
+        )
+        return 1
+    if stale:
+        print("updated: " + ", ".join(stale))
+    else:
+        print("all measured blocks up to date")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

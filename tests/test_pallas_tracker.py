@@ -174,3 +174,56 @@ def test_swarm_step_pallas_chain_locks_like_xla():
                          float(np.asarray(targets.phi)[k]))
     assert abs(results["pallas"][0] - results["xla"][0]) < 0.05
     assert abs(results["pallas"][1] - results["xla"][1]) < 0.05
+
+
+def test_whole_swarm_kernel_matches_xla_iteration_scan():
+    """The single-call whole-swarm kernel (swarm_chain_pallas: all
+    iterations + in-kernel merge/jump/promote) follows the XLA iteration
+    scan's trajectory AND makes the same discrete decisions — tracking
+    flags, start stamps — over several blocks.  Seeded so every boundary
+    op fires: two coincident active trackers (merge), a published target
+    on a seeker (jump), free trackers + a converging source (promote)."""
+    from beamforming_lk_tpu.io import ring as rg
+    from beamforming_lk_tpu.io.synthetic import plane_wave_block
+
+    dsp = DspConfig()
+    pts = ant.create_antenna_grid(8, 8, 0.02)
+    src = (0.5, 1.2, 5000.0)
+    states = {}
+    targets_seen = {}
+    for kern in ("xla", "pallas"):
+        cfg = TrackerConfig(iterations=3, tracker_steps=2, probe_kernel=kern)
+        step = tk.make_swarm_step(pts, cfg, dsp, ACFG)
+        state = tk.swarm_init(cfg, jax.random.PRNGKey(7))
+        state = state._replace(
+            trackers=state.trackers._replace(
+                theta=state.trackers.theta.at[:2].set(
+                    jnp.asarray([0.52, 0.53])),
+                phi=state.trackers.phi.at[:2].set(jnp.asarray([1.2, 1.21])),
+            ),
+            tracking=state.tracking.at[:2].set(True),
+            start=state.start.at[:2].set(jnp.asarray([1.0, 2.0])),
+            target_theta=state.target_theta.at[0].set(state.seekers.theta[0]),
+            target_phi=state.target_phi.at[0].set(state.seekers.phi[0]),
+            target_valid=state.target_valid.at[0].set(True),
+        )
+        hist = rg.ring_init(64, dsp.history)
+        for i in range(4):
+            blk = plane_wave_block(pts, [src], i * 256, 256, ACFG,
+                                   noise_std=0.01,
+                                   rng=np.random.default_rng(i))
+            hist = rg.ring_push(hist, jnp.asarray(blk))
+            window = rg.ring_window(hist, dsp.block_size, dsp.shift_range, 2)
+            state, targets = step(state, window, jnp.int32(i))
+        states[kern] = jax.tree.map(np.asarray, state)
+        targets_seen[kern] = np.asarray(targets.valid)
+    a, b = states["xla"], states["pallas"]
+    np.testing.assert_array_equal(b.tracking, a.tracking)
+    np.testing.assert_array_equal(b.start, a.start)
+    np.testing.assert_array_equal(targets_seen["pallas"], targets_seen["xla"])
+    np.testing.assert_allclose(b.trackers.theta, a.trackers.theta, atol=2e-3)
+    np.testing.assert_allclose(b.trackers.phi, a.trackers.phi, atol=2e-2)
+    np.testing.assert_allclose(b.seekers.theta, a.seekers.theta, atol=2e-3)
+    np.testing.assert_allclose(b.mean, a.mean, rtol=1e-2)
+    assert a.tracking.any(), "no tracker active — promote never fired"
+    assert not a.tracking[:2].all(), "merge never stopped a tracker"
