@@ -41,13 +41,16 @@ GRID = 65
 FRAME, HOP = 64, 32
 
 
-def build_model():
+def build_model(channels: int = 256):
     """(state_init, impl operands, n_bins) with the steering planes built
     on device from the small delay table."""
     arr = ArrayConfig()
-    points = ant.multi_array_cluster(
-        256, arr.columns, arr.rows, arr.distance
-    )  # 256 mics, 2x2 coherent cluster (bench.py geometry)
+    if channels == 64:
+        points = ant.create_antenna_grid(arr.columns, arr.rows, arr.distance)
+    else:
+        points = ant.multi_array_cluster(
+            channels, arr.columns, arr.rows, arr.distance
+        )  # 2x2 coherent cluster (bench.py geometry)
     theta, phi = mm.make_mimo_grid(MimoConfig(rows=GRID, columns=GRID))
     delays = ant.steering_delays_np(
         points, theta, phi, arr.samples_per_meter
@@ -100,30 +103,37 @@ def main():
     signal.alarm(int(os.environ.get("BENCH_DEADLINE_S", "2400")))
     print(f"# device={jax.devices()[0].device_kind}", file=sys.stderr)
 
-    v, dft_t, n_bins, c = build_model()
-    rng = np.random.default_rng(0)
-    blocks = jax.device_put(
-        jnp.asarray(rng.standard_normal((8, c, BLOCK)), jnp.float32)
-    )
+    # Two configs: the app/deployment aperture (one 64-mic array — what
+    # `--mvdr` / `--music` run) and the 256-mic stretch cluster
+    # (bench.py's north-star spatial config).
+    for channels in (64, 256):
+        v, dft_t, n_bins, c = build_model(channels)
+        rng = np.random.default_rng(0)
+        blocks = jax.device_put(
+            jnp.asarray(rng.standard_normal((8, c, BLOCK)), jnp.float32)
+        )
 
-    mvdr_impl = mv._make_mvdr_impl(FRAME, HOP, None, 0.1, 1e-3)
-    binw = jnp.ones((n_bins,), jnp.float32)
-    mvdr_scan = mv._attach_scan(mvdr_impl, (v, dft_t, binw))
-    rate = timed_rate(mvdr_scan, mv.mvdr_init(n_bins, c), blocks)
-    print(
-        f"mvdr: {rate:.1f} blocks/s realtime_x="
-        f"{rate * BLOCK / SAMPLE_RATE:.2f} (C={c} D={GRID * GRID} F={n_bins})"
-    )
-    sys.stdout.flush()
+        mvdr_impl = mv._make_mvdr_impl(FRAME, HOP, None, 0.1, 1e-3)
+        binw = jnp.ones((n_bins,), jnp.float32)
+        mvdr_scan = mv._attach_scan(mvdr_impl, (v, dft_t, binw))
+        rate = timed_rate(mvdr_scan, mv.mvdr_init(n_bins, c), blocks)
+        print(
+            f"mvdr: {rate:.1f} blocks/s realtime_x="
+            f"{rate * BLOCK / SAMPLE_RATE:.2f} "
+            f"(C={c} D={GRID * GRID} F={n_bins})"
+        )
+        sys.stdout.flush()
 
-    k = 3
-    music_impl = mu._make_music_impl(FRAME, HOP, None, 0.1, c, k)
-    music_scan = mv._attach_scan(music_impl, (v, dft_t))
-    rate = timed_rate(music_scan, mu.music_init(n_bins, c), blocks)
-    print(
-        f"music: {rate:.1f} blocks/s realtime_x="
-        f"{rate * BLOCK / SAMPLE_RATE:.2f} (C={c} D={GRID * GRID} F={n_bins} K={k})"
-    )
+        k = 3
+        music_impl = mu._make_music_impl(FRAME, HOP, None, 0.1, c, k)
+        music_scan = mv._attach_scan(music_impl, (v, dft_t))
+        rate = timed_rate(music_scan, mu.music_init(n_bins, c), blocks)
+        print(
+            f"music: {rate:.1f} blocks/s realtime_x="
+            f"{rate * BLOCK / SAMPLE_RATE:.2f} "
+            f"(C={c} D={GRID * GRID} F={n_bins} K={k})"
+        )
+        sys.stdout.flush()
     signal.alarm(0)
 
 

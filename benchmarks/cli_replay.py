@@ -44,7 +44,7 @@ CHANNELS = 256
 GRID = 65
 CHUNK = 8
 POOL = 64
-TILE = 32  # 2048-block batches
+TILE = int(os.environ.get("CLI_REPLAY_TILE", "16"))  # blocks = POOL * TILE
 
 
 def main():

@@ -103,21 +103,36 @@ def gen_fused_ladder(m: dict) -> str:
     return "\n".join(rows)
 
 
+ESTIMATOR_NAMES = [
+    ("mvdr_64", "MVDR (Capon), 64-mic app aperture × 4225 dirs × 11 bins"),
+    ("music_64", "MUSIC (K=3), 64-mic app aperture (eigh per bin)"),
+    ("mvdr_256", "MVDR, 256-mic stretch cluster (512² Cholesky per bin)"),
+    ("music_256", "MUSIC, 256-mic stretch cluster (512² eigh per bin)"),
+]
+
+
 def gen_estimators(m: dict) -> str:
     e = m["estimators"]
-    if e.get("mvdr") is None or e.get("music") is None:
+    if any(e.get(k) is None for k, _ in ESTIMATOR_NAMES):
         return ("*(pending: run `benchmarks/adaptive_estimators.py` and "
                 "record the numbers in docs/measurements.json)*")
-    return (
-        "| estimator | blocks/s | × real-time |\n|---|---|---|\n"
-        f"| MVDR (Capon), 64 mics × 4225 dirs × 11 bins | "
-        f"{fmt(e['mvdr'], 0)} | {fmt(rt(e['mvdr']))} |\n"
-        f"| MUSIC, same workload (eigh per bin) | "
-        f"{fmt(e['music'], 0)} | {fmt(rt(e['music']))} |\n\n"
-        f"Measured by `benchmarks/adaptive_estimators.py` on the chip "
-        f"(chained-scan methodology; the estimators ride "
-        f"`AwpuPipeline.process_blocks`' attached scan in the app)."
+    rows = ["| estimator | blocks/s | × real-time |", "|---|---|---|"]
+    for key, label in ESTIMATOR_NAMES:
+        rows.append(
+            f"| {label} | {fmt(e[key], 0)} | {fmt(rt(e[key]), 2)} |"
+        )
+    rows.append("")
+    rows.append(
+        "Measured by `benchmarks/adaptive_estimators.py` on the chip "
+        "(chained-scan methodology; the estimators ride "
+        "`AwpuPipeline.process_blocks`' attached scan in the app).  The "
+        "64-mic rows are what `--mvdr` / `--music` deploy; the 256-mic "
+        "stretch rows show the cost wall of 512-dimensional per-bin "
+        "linear algebra — the bin-sharded MVDR "
+        "(`make_sharded_mvdr_step`) splits exactly that axis across a "
+        "mesh."
     )
+    return "\n".join(rows)
 
 
 def gen_headline(m: dict) -> str:
