@@ -44,6 +44,9 @@ class AwpuState(NamedTuple):
     miso: ms.MisoState          # steered listener (replicated)
     prev_max: jnp.ndarray       # [] heatmap running-max EMA (mimo.cpp:75-76)
     block_index: jnp.ndarray    # [] int32 block counter
+    powers: jnp.ndarray         # [D] last computed heatmap powers (sharded
+                                # over dir; reused on decimated blocks when
+                                # MimoConfig.heatmap_every > 1)
 
 
 class AwpuOutputs(NamedTuple):
@@ -179,28 +182,32 @@ def make_awpu_step(
         window = rg.ring_window(history, t_len, dsp.shift_range, taps)
 
         # --- MIMO heatmap worker (mimo.cpp:97-151)
-        if enable_mimo and fft_model is not None:
-            from beamforming_lk_tpu.ops import fft_das as fd
+        def _heatmap(_):
+            if fft_model is not None:
+                from beamforming_lk_tpu.ops import fft_das as fd
 
-            powers = fd.fft_heatmap_powers(window, fft_model)
-            if axis_name is not None:
-                # The ch mesh axis is size 1 here (fft needs all channels);
-                # this identity psum just tells shard_map's replication
-                # checker the powers are uniform across it.
-                powers = jax.lax.psum(powers, axis_name)
-            prev_max = (
-                jnp.max(powers) * cfg.mimo.ema_alpha
-                + (1.0 - cfg.mimo.ema_alpha) * state.prev_max
-            )
-            if mesh is not None and DIR_AXIS in mesh.axis_names:
-                # Replicated compute -> slice this shard's direction chunk
-                # (out spec P(dir)); the EMA max is already global.
-                n_dir = dict(zip(mesh.axis_names, mesh.devices.shape))[DIR_AXIS]
-                d_local = d_total // n_dir
-                powers = jax.lax.dynamic_slice_in_dim(
-                    powers, jax.lax.axis_index(DIR_AXIS) * d_local, d_local
+                powers = fd.fft_heatmap_powers(window, fft_model)
+                if axis_name is not None:
+                    # The ch mesh axis is size 1 here (fft needs all
+                    # channels); this identity psum just tells shard_map's
+                    # replication checker the powers are uniform across it.
+                    powers = jax.lax.psum(powers, axis_name)
+                prev_max = (
+                    jnp.max(powers) * cfg.mimo.ema_alpha
+                    + (1.0 - cfg.mimo.ema_alpha) * state.prev_max
                 )
-        elif enable_mimo:
+                if mesh is not None and DIR_AXIS in mesh.axis_names:
+                    # Replicated compute -> slice this shard's direction
+                    # chunk (out spec P(dir)); the EMA max is already global.
+                    n_dir = dict(
+                        zip(mesh.axis_names, mesh.devices.shape)
+                    )[DIR_AXIS]
+                    d_local = d_total // n_dir
+                    powers = jax.lax.dynamic_slice_in_dim(
+                        powers, jax.lax.axis_index(DIR_AXIS) * d_local,
+                        d_local,
+                    )
+                return powers, prev_max
             w = mimo_w if mask is None else mimo_w * mask[:, None]
             if dsp.compute == "bfloat16":
                 beam = dl.das_beam(
@@ -224,11 +231,24 @@ def make_awpu_step(
                 global_max * cfg.mimo.ema_alpha
                 + (1.0 - cfg.mimo.ema_alpha) * state.prev_max
             )
-        else:
-            powers = jnp.zeros(
-                (mimo_w.shape[0],), jnp.float32
-            )
+            return powers, prev_max
+
+        if not enable_mimo:
+            powers = jnp.zeros((state.powers.shape[0],), jnp.float32)
             prev_max = state.prev_max
+        elif cfg.mimo.heatmap_every > 1:
+            # Display-rate decimation (MimoConfig.heatmap_every): recompute
+            # the heatmap on every k-th block, carry it in between.  The
+            # predicate is replicated, so every shard takes the same branch
+            # and the in-branch collectives stay uniform.
+            powers, prev_max = jax.lax.cond(
+                jnp.mod(state.block_index, cfg.mimo.heatmap_every) == 0,
+                _heatmap,
+                lambda _: (state.powers, state.prev_max),
+                None,
+            )
+        else:
+            powers, prev_max = _heatmap(None)
 
         # --- GRADIENT tracker + MISO listener workers, fused into one
         # monopulse dispatch chain when both are on
@@ -261,6 +281,7 @@ def make_awpu_step(
             miso=miso,
             prev_max=prev_max,
             block_index=state.block_index + 1,
+            powers=powers,
         )
         return new_state, AwpuOutputs(powers, targets, miso_beam, prev_max)
 
@@ -348,6 +369,7 @@ def make_awpu_step(
             history=rg.ring_push(state.history, big[..., -min(state.history.shape[-1], m * t_len):]),
             prev_max=prev_max,
             block_index=state.block_index + m,
+            powers=powers[-1],
         )
         z = jnp.zeros((m, nt), jnp.float32)
         targets = tk.Targets(z, z, z, z, z, jnp.zeros((m, nt), bool))
@@ -400,6 +422,7 @@ def make_awpu_step(
         miso=jax.tree.map(lambda _: P(), ms.miso_init()),
         prev_max=P(),
         block_index=P(),
+        powers=P(dr),
     )
     out_specs = AwpuOutputs(
         powers=P(dr),
@@ -474,12 +497,17 @@ def awpu_init(
     if mesh is not None:
         ch = CH_AXIS if CH_AXIS in mesh.axis_names else None
         history = jax.device_put(history, NamedSharding(mesh, P(ch, None)))
+    powers = jnp.zeros((cfg.mimo.n_directions,), jnp.float32)
+    if mesh is not None:
+        dr = DIR_AXIS if DIR_AXIS in mesh.axis_names else None
+        powers = jax.device_put(powers, NamedSharding(mesh, P(dr)))
     return AwpuState(
         history=history,
         swarm=tk.swarm_init(cfg.tracker, jax.random.PRNGKey(seed)),
         miso=ms.miso_init(),
         prev_max=jnp.zeros((), jnp.float32),
         block_index=jnp.zeros((), jnp.int32),
+        powers=powers,
     )
 
 

@@ -97,6 +97,15 @@ class MimoConfig:
     # standard robust localization weighting for reverberant/colored
     # environments.  Capability beyond the reference; fft backend only.
     phat: bool = False
+    # Heatmap cadence divider for the REAL-TIME fused step: compute the
+    # heatmap only every k-th block (lax.cond; carried powers are reused
+    # in between).  The reference computes a heatmap per block but its UI
+    # consumes ~60 fps (aw_control_unit.cpp:189) — every 3rd block at the
+    # 190.7 block/s cadence — so 3 is display-rate-faithful and removes
+    # ~2/3 of the per-block heatmap cost (docs/performance.md).  1 =
+    # every block (reference worker behavior).  Ignored by the chunked
+    # heatmap-only replay path (chunking already amortizes it).
+    heatmap_every: int = 1
     # Chunked streaming for heatmap-only pipelines (tracker and MISO off):
     # AwpuPipeline.process_blocks beamforms this many blocks' windows per
     # dispatch — bit-identical per-block powers, matmuls chunk-x bigger

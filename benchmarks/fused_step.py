@@ -111,6 +111,16 @@ def main():
             mimo=MimoConfig(backend="fft"),
             tracker=TrackerConfig(iterations=2, probe_kernel="pallas"),
         ),
+        # + display-rate heatmap decimation: recompute the heatmap every
+        # 3rd block (the reference UI consumes ~60 fps = every ~3rd block
+        # at the 190.7 block/s cadence, aw_control_unit.cpp:189); tracker
+        # and MISO still run every block.
+        "bf16_fft_iter2_pallas_hm3": dataclasses.replace(
+            base,
+            dsp=DspConfig(compute="bfloat16", probe_compute="bfloat16"),
+            mimo=MimoConfig(backend="fft", heatmap_every=3),
+            tracker=TrackerConfig(iterations=2, probe_kernel="pallas"),
+        ),
         # Conservative 10-iteration profile with the Pallas chain.
         "bf16_fft_pallas": dataclasses.replace(
             base,
@@ -119,6 +129,10 @@ def main():
             tracker=TrackerConfig(probe_kernel="pallas"),
         ),
     }
+    only = os.environ.get("BENCH_VARIANTS")
+    if only:
+        keep = only.split(",")
+        variants = {k: v for k, v in variants.items() if k in keep}
     points = ant.create_antenna_grid(8, 8, 0.02)
     c = points.shape[1]
     rng = np.random.default_rng(0)

@@ -312,3 +312,34 @@ def test_process_blocks_drives_mvdr_through_scan():
             err_msg=mode,
         )
         assert int(np.asarray(b_pipe._mvdr_state.count)) == 6
+
+
+def test_heatmap_every_decimation_reuses_carried_powers():
+    """MimoConfig.heatmap_every=k recomputes the heatmap on every k-th
+    block (block_index % k == 0) and carries it in between; computed
+    blocks match the every-block pipeline exactly, tracker/MISO unaffected."""
+    import dataclasses
+
+    cfg1 = Config(mimo=MimoConfig(rows=16, columns=16),
+                  tracker=TrackerConfig(iterations=1))
+    cfg2 = dataclasses.replace(
+        cfg1, mimo=dataclasses.replace(cfg1.mimo, heatmap_every=2)
+    )
+    pts = ant.create_antenna_grid()
+    blocks = _blocks(pts, 5)
+    a = AwpuPipeline(cfg1, points=pts, seed=3)
+    b = AwpuPipeline(cfg2, points=pts, seed=3)
+    pa, pb, beams = [], [], []
+    for blk in blocks:
+        oa = a.process_block(blk)
+        ob = b.process_block(blk)
+        pa.append(np.asarray(oa.powers))
+        pb.append(np.asarray(ob.powers))
+        beams.append((np.asarray(oa.miso_beam), np.asarray(ob.miso_beam)))
+    for i in (0, 2, 4):  # computed blocks
+        np.testing.assert_allclose(pb[i], pa[i], rtol=1e-6, err_msg=str(i))
+    for i in (1, 3):  # decimated blocks reuse the previous computation
+        np.testing.assert_array_equal(pb[i], pb[i - 1])
+        assert np.abs(pb[i] - pa[i]).max() > 0  # genuinely stale, not equal
+    for ba, bb in beams:  # tracker/MISO path untouched by decimation
+        np.testing.assert_allclose(bb, ba, rtol=1e-6, atol=1e-9)
