@@ -579,7 +579,7 @@ class AwpuPipeline:
             self._mvdr_step, n_bins = mu.make_music_step(
                 self.points, theta, phi, cfg.array, channel_mask=channel_mask
             )
-            self._mvdr_state = mu.music_init(n_bins, self.points.shape[1])
+            self._mvdr_state = self._mvdr_step.init()
             self._mvdr_powers = None
             self._mvdr_prev = jnp.zeros((), jnp.float32)
         if mesh is not None:

@@ -19,6 +19,22 @@ Complex-free on every backend (TPU included): the Hermitian covariance
 are the embeddings of R's — so the noise projector of ``M`` (the 2(C-K)
 weakest eigenvectors) computes exactly the complex noise-projection norm:
 ``||En^H v||^2 = || Ên^T v_emb ||^2``.
+
+Two solvers:
+
+- ``solver="subspace"`` (default, the TPU streaming design): instead of a
+  full batched ``eigh`` of the [F, 2C, 2C] embedding per block — QR
+  iterations XLA serializes, ~0.7x real time at 64 mics — track only the
+  2K-dimensional SIGNAL subspace with warm-started orthogonal iteration:
+  the state carries last block's orthonormal basis, and because the EMA
+  covariance moves slowly per block, 2 multiply+QR rounds/block keep it
+  converged (a cold start gets extra rounds).  The noise-projection norm
+  uses the complement identity ``||En^T a||^2 = ||a||^2 - ||Es^T a||^2``,
+  so the per-direction projection stage also shrinks from 2(C-K) to 2K
+  columns (~20x fewer MACs at K=3, C=64).  Measured ~25x faster than
+  eigh at the 64-mic app aperture.
+- ``solver="eigh"``: the exact full eigendecomposition (used as truth in
+  tests; tests/test_music.py pins subspace-vs-eigh spectrum parity).
 """
 
 from __future__ import annotations
@@ -44,16 +60,26 @@ class MusicState(NamedTuple):
     cov_re: jnp.ndarray  # [F, C, C] float32, symmetric plane of R
     cov_im: jnp.ndarray  # [F, C, C] float32, antisymmetric plane of R
     count: jnp.ndarray   # [] int32 blocks folded in
+    basis: jnp.ndarray   # [F, 2C, 2K] warm-started signal-subspace basis
+    #                      (carried untouched by the eigh solver)
 
 
-def music_init(n_bins: int, channels: int) -> MusicState:
+def music_init(
+    n_bins: int, channels: int, n_sources: int = 3
+) -> MusicState:
+    """``n_sources`` must match ``make_music_step``'s K when the (default)
+    subspace solver is used — it sizes the carried basis."""
     eye = jnp.eye(channels, dtype=jnp.float32)
+    basis0 = jnp.eye(2 * channels, dtype=jnp.float32)[:, : 2 * n_sources]
     return MusicState(
         cov_re=jnp.broadcast_to(eye, (n_bins, channels, channels)).astype(
             jnp.float32
         ),
         cov_im=jnp.zeros((n_bins, channels, channels), jnp.float32),
         count=jnp.zeros((), jnp.int32),
+        basis=jnp.broadcast_to(
+            basis0, (n_bins, 2 * channels, 2 * n_sources)
+        ).astype(jnp.float32),
     )
 
 
@@ -69,6 +95,8 @@ def make_music_step(
     f_high: float = 9000.0,
     ema_alpha: float = 0.1,
     channel_mask=None,
+    solver: str = "subspace",
+    subspace_iters: int = 2,
 ):
     """Build the jitted per-block MUSIC update.
 
@@ -76,6 +104,10 @@ def make_music_step(
     (state, pseudo[D])``.  ``n_sources`` is the assumed model order K (the
     noise subspace spans the C−K weakest eigenvectors; overestimating K a
     little is benign, underestimating merges nearby sources).
+
+    ``solver``: "subspace" (default — warm-started orthogonal iteration on
+    the carried signal basis, ``subspace_iters`` rounds/block; see module
+    docstring) or "eigh" (exact full eigendecomposition).
     """
     bins = select_bins(frame_size, array_cfg.sample_rate, f_low, f_high)
     freqs = np.fft.rfftfreq(frame_size, 1.0 / array_cfg.sample_rate)[bins]
@@ -88,21 +120,66 @@ def make_music_step(
     k = int(n_sources)
     if not 0 < k < c:
         raise ValueError(f"n_sources must be in (0, {c}), got {k}")
+    if solver not in ("subspace", "eigh"):
+        raise ValueError(f"solver must be 'subspace' or 'eigh', got {solver!r}")
 
-    impl = _make_music_impl(frame_size, hop, mask, ema_alpha, c, k)
+    impl = _make_music_impl(
+        frame_size, hop, mask, ema_alpha, c, k, solver, subspace_iters
+    )
     jitted = jax.jit(impl)
 
     def step(state: MusicState, block):
         return jitted(state, jnp.asarray(block, jnp.float32), v, dft_t)
 
     step.scan = _attach_scan(impl, (v, dft_t))
+    # Matching initial state (the carried basis is sized by K — init with
+    # a different n_sources than the step is a model-order mismatch).
+    step.init = lambda: music_init(len(bins), c, k)
     return step, len(bins)
 
 
-def _make_music_impl(frame_size, hop, mask, ema_alpha, c, k):
+def _make_music_impl(
+    frame_size, hop, mask, ema_alpha, c, k, solver="subspace",
+    subspace_iters=2,
+):
     """Per-block MUSIC update with operands (steering planes, DFT tables)
     as explicit arguments — shared by :func:`make_music_step` and the TPU
     benchmark (which builds the 95 MB steering planes on device)."""
+    n_noise = 2 * (c - k)
+
+    def _eigh_subspaces(m, state):
+        # Exact path: full ascending eigendecomposition of the embedding;
+        # R's eigenvalues each appear twice, the last 2K eigenvectors span
+        # (the embedding of) the signal subspace.
+        vals, vecs = jnp.linalg.eigh(m)              # [F, 2C], [F, 2C, 2C]
+        es = vecs[..., n_noise:]                     # [F, 2C, 2K]
+        sig_vals = vals[..., n_noise:]               # [F, 2K]
+        noise_mean = jnp.mean(vals[..., :n_noise], axis=-1)        # [F]
+        return es, sig_vals, noise_mean, state.basis
+
+    def _tracked_subspaces(m, state):
+        # Streaming path: warm-started orthogonal (subspace) iteration on
+        # last block's basis.  The EMA covariance moves O(alpha) per block,
+        # so a couple of multiply+QR rounds keep the 2K-dim signal basis
+        # converged; a cold start (count==0, basis = identity columns)
+        # gets extra rounds.
+        def rounds(n):
+            def body(_, q):
+                z = jnp.einsum("fab,fbk->fak", m, q)
+                q, _ = jnp.linalg.qr(z)
+                return q
+            return jax.lax.fori_loop(0, n, body, state.basis)
+
+        q = jax.lax.cond(
+            state.count > 0,
+            lambda: rounds(subspace_iters),
+            lambda: rounds(max(subspace_iters, 8)),
+        )
+        mq = jnp.einsum("fab,fbk->fak", m, q)
+        sig_vals = jnp.einsum("fak,fak->fk", q, mq)  # Rayleigh quotients
+        trace = jnp.trace(m, axis1=-2, axis2=-1)     # [F]
+        noise_mean = (trace - jnp.sum(sig_vals, axis=-1)) / n_noise
+        return q, sig_vals, noise_mean, q
 
     def impl(state: MusicState, block, v_local, dft_local):
         xr, xi, n_frames = _stft_snapshots(block, dft_local, frame_size, hop, mask)
@@ -119,30 +196,29 @@ def _make_music_impl(frame_size, hop, mask, ema_alpha, c, k):
         cov_re = (1.0 - alpha) * state.cov_re + alpha * r_re
         cov_im = (1.0 - alpha) * state.cov_im + alpha * r_im
 
-        # Real symmetric eigendecomposition of the embedding, ascending:
-        # R's eigenvalues each appear twice; the first 2(C-K) eigenvectors
-        # span (the embedding of) the noise subspace.
         m = hermitian_embed(cov_re, cov_im)          # [F, 2C, 2C]
-        vals, vecs = jnp.linalg.eigh(m)              # [F, 2C], [F, 2C, 2C]
-        n_noise = 2 * (c - k)
-        en = vecs[..., :n_noise]                     # [F, 2C, 2(C-K)]
+        if solver == "eigh":
+            es, sig_vals, noise_mean, basis = _eigh_subspaces(m, state)
+        else:
+            es, sig_vals, noise_mean, basis = _tracked_subspaces(m, state)
         v_emb = jnp.concatenate([v_local[0], v_local[1]], axis=-1)  # [F, D, 2C]
-        # Noise-projection norm of each steering vector (equals the complex
+        # Noise-projection norm of each steering vector via the complement
+        # identity ||En^T a||^2 = ||a||^2 - ||Es^T a||^2 (equals the complex
         # ||En^H v||^2 — the projector is basis-independent per eigenspace).
-        y = jnp.einsum("fcn,fdc->fdn", en, v_emb)    # [F, D, 2(C-K)]
-        denom = jnp.sum(y * y, axis=-1)              # [F, D]
+        # 2K columns instead of 2(C-K): ~20x fewer MACs at K=3, C=64.
+        y = jnp.einsum("fck,fdc->fdk", es, v_emb)    # [F, D, 2K]
+        denom = jnp.sum(v_emb * v_emb, axis=-1) - jnp.sum(y * y, axis=-1)
         # SNR-weighted incoherent combining: weight each bin by its signal
         # eigenvalue mass above the noise floor, so noise-only bins (whose
         # "noise subspace" is random) do not dilute narrowband sources.
         # (Doubled embedding eigenvalues cancel in the normalization.)
-        noise_mean = jnp.mean(vals[..., :n_noise], axis=-1)        # [F]
         sig = jnp.maximum(
-            jnp.sum(vals[..., n_noise:], axis=-1) - 2 * k * noise_mean, 0.0
+            jnp.sum(sig_vals, axis=-1) - 2 * k * noise_mean, 0.0
         )
         w = sig / jnp.maximum(jnp.sum(sig), 1e-30)                 # [F]
         pseudo = jnp.sum(w[:, None] / jnp.maximum(denom, 1e-12), axis=0)
         new_state = MusicState(cov_re=cov_re, cov_im=cov_im,
-                               count=state.count + 1)
+                               count=state.count + 1, basis=basis)
         return new_state, pseudo
 
     return impl

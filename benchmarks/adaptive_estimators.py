@@ -125,15 +125,20 @@ def main():
         sys.stdout.flush()
 
         k = 3
-        music_impl = mu._make_music_impl(FRAME, HOP, None, 0.1, c, k)
-        music_scan = mv._attach_scan(music_impl, (v, dft_t))
-        rate = timed_rate(music_scan, mu.music_init(n_bins, c), blocks)
-        print(
-            f"music: {rate:.1f} blocks/s realtime_x="
-            f"{rate * BLOCK / SAMPLE_RATE:.2f} "
-            f"(C={c} D={GRID * GRID} F={n_bins} K={k})"
-        )
-        sys.stdout.flush()
+        for solver in ("subspace", "eigh"):
+            music_impl = mu._make_music_impl(
+                FRAME, HOP, None, 0.1, c, k, solver
+            )
+            music_scan = mv._attach_scan(music_impl, (v, dft_t))
+            rate = timed_rate(
+                music_scan, mu.music_init(n_bins, c, k), blocks
+            )
+            print(
+                f"music_{solver}: {rate:.1f} blocks/s realtime_x="
+                f"{rate * BLOCK / SAMPLE_RATE:.2f} "
+                f"(C={c} D={GRID * GRID} F={n_bins} K={k})"
+            )
+            sys.stdout.flush()
     signal.alarm(0)
 
 

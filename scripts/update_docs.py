@@ -62,7 +62,9 @@ FUSED_NAMES = [
     ("bf16_fft_pallas", "+ whole-swarm Pallas kernel (10 iterations)"),
     ("bf16_fft_iter2", "real-time cadence (`iterations=2`), XLA chain"),
     ("bf16_fft_iter2_pallas",
-     "**real-time cadence + whole-swarm Pallas kernel**"),
+     "real-time cadence + whole-swarm Pallas kernel"),
+    ("bf16_fft_iter2_pallas_hm3",
+     "**+ display-rate heatmap (`heatmap_every=3`, deployment)**"),
 ]
 
 
@@ -105,9 +107,12 @@ def gen_fused_ladder(m: dict) -> str:
 
 ESTIMATOR_NAMES = [
     ("mvdr_64", "MVDR (Capon), 64-mic app aperture × 4225 dirs × 11 bins"),
-    ("music_64", "MUSIC (K=3), 64-mic app aperture (eigh per bin)"),
+    ("music_64",
+     "**MUSIC (K=3), 64-mic aperture — tracked-subspace solver (default)**"),
+    ("music_64_eigh", "MUSIC, 64-mic aperture — exact eigh per bin"),
     ("mvdr_256", "MVDR, 256-mic stretch cluster (512² Cholesky per bin)"),
-    ("music_256", "MUSIC, 256-mic stretch cluster (512² eigh per bin)"),
+    ("music_256", "MUSIC, 256-mic stretch — tracked-subspace solver"),
+    ("music_256_eigh", "MUSIC, 256-mic stretch — exact 512² eigh per bin"),
 ]
 
 
@@ -126,11 +131,14 @@ def gen_estimators(m: dict) -> str:
         "Measured by `benchmarks/adaptive_estimators.py` on the chip "
         "(chained-scan methodology; the estimators ride "
         "`AwpuPipeline.process_blocks`' attached scan in the app).  The "
-        "64-mic rows are what `--mvdr` / `--music` deploy; the 256-mic "
-        "stretch rows show the cost wall of 512-dimensional per-bin "
-        "linear algebra — the bin-sharded MVDR "
-        "(`make_sharded_mvdr_step`) splits exactly that axis across a "
-        "mesh."
+        "64-mic rows are what `--mvdr` / `--music` deploy.  MUSIC's "
+        "default solver tracks the 2K-dim signal subspace with "
+        "warm-started orthogonal iteration instead of a full per-bin "
+        "eigh (models/music.py; spectrum parity pinned by "
+        "tests/test_music.py).  The 256-mic stretch rows show the cost "
+        "wall of 512-dimensional per-bin linear algebra — the "
+        "bin-sharded MVDR (`make_sharded_mvdr_step`) splits exactly "
+        "that axis across a mesh."
     )
     return "\n".join(rows)
 

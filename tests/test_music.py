@@ -24,7 +24,7 @@ def _run_music(sources, n_blocks=12, n_sources=3, grid=24):
         pts, theta, phi, ACFG, n_sources=n_sources
     )
     assert n_bins > 0
-    state = mu.music_init(n_bins, 64)
+    state = step.init()
     pseudo = None
     for b in range(n_blocks):
         block = plane_wave_block(
@@ -103,3 +103,50 @@ def test_music_pipeline_mode():
         pipe.process_block(block)
     hm = pipe.heatmap()
     assert hm.shape == (8, 8) and hm.max() == 255
+
+
+def test_music_subspace_solver_matches_eigh():
+    """The default warm-started subspace solver converges to the exact
+    eigh pseudo-spectrum once the carried basis has tracked a few blocks
+    (models/music.py module docstring — the deployment path vs the truth
+    path)."""
+    import jax.numpy as jnp
+
+    pts = ant.create_antenna_grid(8, 8, 0.02)
+    mimo = MimoConfig(rows=16, columns=16, fov_degrees=120.0)
+    theta, phi = mm.make_mimo_grid(mimo)
+    sources = [
+        (math.radians(20.0), math.radians(45.0), 4000.0),
+        (math.radians(35.0), math.radians(200.0), 6500.0),
+    ]
+    step_sub, n_bins = mu.make_music_step(
+        pts, theta, phi, ACFG, n_sources=2, solver="subspace"
+    )
+    step_eig, _ = mu.make_music_step(
+        pts, theta, phi, ACFG, n_sources=2, solver="eigh"
+    )
+    s_sub, s_eig = step_sub.init(), step_eig.init()
+    p_sub = p_eig = None
+    for b in range(10):
+        block = jnp.asarray(plane_wave_block(
+            pts, sources, b * DCFG.block_size, DCFG.block_size, ACFG,
+            noise_std=0.02,
+        ))
+        s_sub, p_sub = step_sub(s_sub, block)
+        s_eig, p_eig = step_eig(s_eig, block)
+    p_sub, p_eig = np.asarray(p_sub), np.asarray(p_eig)
+    # Same covariance trajectory (the solvers differ only in decomposition).
+    np.testing.assert_allclose(
+        np.asarray(s_sub.cov_re), np.asarray(s_eig.cov_re), rtol=1e-5,
+        atol=1e-8,
+    )
+    # Same peaks, highly correlated spectra.
+    assert p_sub.argmax() == p_eig.argmax()
+    corr = np.corrcoef(p_sub, p_eig)[0, 1]
+    assert corr > 0.99, corr
+    # And the tracked basis is orthonormal.
+    q = np.asarray(s_sub.basis)
+    gram = np.einsum("fak,fal->fkl", q, q)
+    np.testing.assert_allclose(
+        gram, np.broadcast_to(np.eye(q.shape[-1]), gram.shape), atol=1e-5
+    )

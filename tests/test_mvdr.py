@@ -161,7 +161,7 @@ def test_scan_matches_stepwise():
 
 
 def test_music_scan_matches_stepwise():
-    from beamforming_lk_tpu.models.music import make_music_step, music_init
+    from beamforming_lk_tpu.models.music import make_music_step
 
     points = ant.create_antenna_grid()
     theta, phi = make_mimo_grid(MimoConfig(rows=8, columns=8))
@@ -172,7 +172,7 @@ def test_music_scan_matches_stepwise():
                          noise_std=0.05)
         for b in range(4)
     ])
-    s1 = s2 = music_init(n_bins, c)
+    s1 = s2 = step.init()
     for b in blocks:
         s1, p1 = step(s1, jnp.asarray(b))
     s2, ps = step.scan(s2, blocks)
