@@ -252,23 +252,17 @@ def _monopulse_step(
 def _use_pallas_chain(cfg: TrackerConfig, dsp: DspConfig, axis_name) -> bool:
     """Gate for the Pallas monopulse-chain backend, with a visible fallback.
 
-    The kernel (ops/pallas_tracker.py) covers the deployment configuration
-    — linear interpolation, quadrant probes, unsharded channels.  Anything
-    else silently ran the ~2x slower XLA chain before; now the fallback is
-    announced once per step build (mirroring the fft->dense heatmap note,
-    app/awpu.py)."""
-    supported = (
-        dsp.interp == "linear"
-        and cfg.probe_layout == "quadrant"
-        and axis_name is None
-    )
+    The kernel (ops/pallas_tracker.py) covers linear interpolation with
+    either probe layout (quadrant or nearby) on unsharded channels.
+    Anything else silently ran the ~2x slower XLA chain before; now the
+    fallback is announced once per step build (mirroring the fft->dense
+    heatmap note, app/awpu.py)."""
+    supported = dsp.interp == "linear" and axis_name is None
     if cfg.probe_kernel == "pallas" and not supported:
         import sys
 
         why = (
             f"interp={dsp.interp!r}" if dsp.interp != "linear"
-            else f"probe_layout={cfg.probe_layout!r}"
-            if cfg.probe_layout != "quadrant"
             else "sharded channels"
         )
         print(
@@ -472,6 +466,7 @@ def make_swarm_step_impl(
                     closeness=cfg.tracker_closeness,
                     error_threshold=cfg.error_threshold,
                     interpret=interpret,
+                    probe_layout=cfg.probe_layout,
                 )
             )
             combo = Particles(th, ph, gt, gp, rad, err)
@@ -807,6 +802,7 @@ def make_fused_step_impl(
                     closeness=cfg.tracker_closeness,
                     error_threshold=cfg.error_threshold,
                     interpret=interpret,
+                    probe_layout=cfg.probe_layout,
                 )
             )
             combo = Particles(th, ph, gt, gp, rad, err)

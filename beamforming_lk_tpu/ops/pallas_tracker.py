@@ -11,11 +11,13 @@ lives in registers/VMEM across rounds, the bandpass-folded probe window
 stays VMEM-resident, and each round is ONE [4P, C*span] MXU dot (all four
 probes batched into the M dimension) plus VPU trig.
 
-Exact math parity with ``_monopulse_step`` (quadrant layout, linear
-interp), step for step:
+Exact math parity with ``_monopulse_step`` (quadrant or nearby probe
+layout, linear interp), step for step:
 
-  probes   ``ops.geometry.quadrant_probes``  (Rz(phi) @ Ry(rt) rotation of
-           4 ring points at inclination ``spread``; FoV-edge back-off)
+  probes   ``ops.geometry.quadrant_probes`` / ``nearby_probes``
+           (Rz(phi) @ Ry(rt) rotation of 4 ring points at inclination
+           ``spread``; FoV-edge back-off; the layouts differ only in the
+           ring azimuths and the discriminant combining)
   steering ``ops.antenna.steering_delays``    (u = (st*cos, -st*sin, ct),
            min-subtracted) — expressed WITHOUT acos/atan2 (Mosaic has no
            inverse-trig lowering): the rotated probe vector (wx, wy, wz)
@@ -48,8 +50,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from beamforming_lk_tpu.ops import delay as dl
 
-#: Quadrant probe ring azimuths (ops/geometry.py::quadrant_probes).
-_BASE_PHIS = tuple(np.deg2rad((45.0, 315.0, 225.0, 135.0)).tolist())
+#: Probe ring azimuths per layout (ops/geometry.py::quadrant_probes /
+#: nearby_probes) — the two constellations differ only in where the 4
+#: probes sit and how the monopulse discriminant combines them.  Any
+#: ``probe_layout`` other than "quadrant" (the config spells it
+#: "horizontal") selects the N/E/S/W ring, mirroring
+#: ``models/tracker.py::_monopulse_step``.
+_QUADRANT_PHIS = tuple(np.deg2rad((45.0, 315.0, 225.0, 135.0)).tolist())
+_NEARBY_PHIS = tuple(np.deg2rad((0.0, 90.0, 180.0, 270.0)).tolist())
 _EPS = 1e-9  # models/tracker.py EPSILON (phi step 1/sin(eps + theta))
 _TWO_PI = 2.0 * np.pi
 
@@ -88,6 +96,7 @@ def fold_bandpass_window(unfolded):
 def _make_substep(
     xyz_ref, win_ref, rate_ref, spread_ref, *,
     span, taps, theta_limit, inv_divisor, precision,
+    probe_layout="quadrant",
 ):
     """Shared monopulse sub-step core: (active, carry6) -> carry6.
 
@@ -137,7 +146,8 @@ def _make_substep(
         rt = jnp.where(near, theta - spread, theta)
         adj = jnp.where(near, theta - spread / 2.0, theta)
         # All 4 probes stacked along the M (sublane) axis: one dot.
-        us = [probe_u(phi, rt, b) for b in _BASE_PHIS]
+        phis = _QUADRANT_PHIS if probe_layout == "quadrant" else _NEARBY_PHIS
+        us = [probe_u(phi, rt, b) for b in phis]
         u_x = jnp.concatenate([u[0] for u in us], axis=0)  # [4P, 1]
         u_y = jnp.concatenate([u[1] for u in us], axis=0)
         u_z = jnp.concatenate([u[2] for u in us], axis=0)
@@ -165,8 +175,14 @@ def _make_substep(
         powers = jnp.sum(beam * beam, axis=1, keepdims=True) * inv_divisor
         q1, q2, q3, q4 = (powers[j * p:(j + 1) * p] for j in range(4))
         total = jnp.maximum(q1 + q2 + q3 + q4, 1e-30)
-        gt = ((q1 + q2) - (q3 + q4)) / total
-        gp = ((q1 + q4) - (q2 + q3)) / total
+        if probe_layout == "quadrant":
+            gt = ((q1 + q2) - (q3 + q4)) / total
+            gp = ((q1 + q4) - (q2 + q3)) / total
+        else:
+            # N/E/S/W probes (models/tracker.py::_monopulse_step nearby
+            # branch): each axis normalized by the max of its pair.
+            gt = (q1 - q3) / jnp.maximum(jnp.maximum(q1, q3), 1e-30)
+            gp = (q2 - q4) / jnp.maximum(jnp.maximum(q2, q4), 1e-30)
         err = jnp.abs(gt) + jnp.abs(gp)
         rad = total * 0.25
         new_t = adj + rate * gt
@@ -203,11 +219,13 @@ def _chain_kernel(
     theta_limit: float,
     inv_divisor: float,
     precision,
+    probe_layout: str,
 ):
     substep = _make_substep(
         xyz_ref, win_ref, rate_ref, spread_ref,
         span=span, taps=taps, theta_limit=theta_limit,
         inv_divisor=inv_divisor, precision=precision,
+        probe_layout=probe_layout,
     )
 
     def body(i, carry):
@@ -231,7 +249,8 @@ def _chain_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "span", "taps", "theta_limit", "divisor", "interpret"
+        "span", "taps", "theta_limit", "divisor", "interpret",
+        "probe_layout",
     ),
 )
 def monopulse_chain_pallas(
@@ -247,6 +266,7 @@ def monopulse_chain_pallas(
     theta_limit: float,
     divisor: float,
     interpret: bool = False,
+    probe_layout: str = "quadrant",
 ):
     """Run ``n_sub`` dependent monopulse sub-steps in one kernel.
 
@@ -285,6 +305,7 @@ def monopulse_chain_pallas(
         theta_limit=float(theta_limit),
         inv_divisor=1.0 / float(divisor),
         precision=precision,
+        probe_layout=probe_layout,
     )
     out_sds = [jax.ShapeDtypeStruct((pp_, 1), jnp.float32)] * 6
     k = window_bp.shape[0]
@@ -338,6 +359,7 @@ def _swarm_kernel(
     error_threshold: float,
     n_trackers: int,
     precision,
+    probe_layout: str,
 ):
     """The WHOLE per-block swarm update as one kernel: ``n_iter`` iterations
     of [``n_sub`` chained monopulse sub-steps + merge + seeker jump +
@@ -367,6 +389,7 @@ def _swarm_kernel(
         xyz_ref, win_ref, rate_ref, spread_ref,
         span=span, taps=taps, theta_limit=theta_limit,
         inv_divisor=inv_divisor, precision=precision,
+        probe_layout=probe_layout,
     )
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
     is_tracker = fam_ref[0] > 0.5
@@ -508,7 +531,7 @@ def _swarm_kernel(
     static_argnames=(
         "n_iter", "n_sub", "refine", "n_trackers", "span", "taps",
         "theta_limit", "divisor", "closeness", "error_threshold",
-        "interpret",
+        "interpret", "probe_layout",
     ),
 )
 def swarm_chain_pallas(
@@ -536,6 +559,7 @@ def swarm_chain_pallas(
     closeness: float,
     error_threshold: float,
     interpret: bool = False,
+    probe_layout: str = "quadrant",
 ):
     """Run the whole per-block swarm update (all ``n_iter`` iterations with
     their merge/jump/promote boundaries) in ONE ``pallas_call``.
@@ -584,6 +608,7 @@ def swarm_chain_pallas(
         error_threshold=float(error_threshold),
         n_trackers=n_trackers,
         precision=precision,
+        probe_layout=probe_layout,
     )
     out_sds = [jax.ShapeDtypeStruct((pp_, 1), jnp.float32)] * 8 + [
         jax.ShapeDtypeStruct((1, 1), jnp.float32)

@@ -176,13 +176,19 @@ def test_swarm_step_pallas_chain_locks_like_xla():
     assert abs(results["pallas"][1] - results["xla"][1]) < 0.05
 
 
-def test_whole_swarm_kernel_matches_xla_iteration_scan():
+import pytest
+
+
+@pytest.mark.parametrize("probe_layout", ["quadrant", "horizontal"])
+def test_whole_swarm_kernel_matches_xla_iteration_scan(probe_layout):
     """The single-call whole-swarm kernel (swarm_chain_pallas: all
     iterations + in-kernel merge/jump/promote) follows the XLA iteration
     scan's trajectory AND makes the same discrete decisions — tracking
     flags, start stamps — over several blocks.  Seeded so every boundary
     op fires: two coincident active trackers (merge), a published target
-    on a seeker (jump), free trackers + a converging source (promote)."""
+    on a seeker (jump), free trackers + a converging source (promote).
+    Both probe layouts (diagonal quadrant and N/E/S/W horizontal) are
+    covered — the kernel supports both constellations."""
     from beamforming_lk_tpu.io import ring as rg
     from beamforming_lk_tpu.io.synthetic import plane_wave_block
 
@@ -192,7 +198,8 @@ def test_whole_swarm_kernel_matches_xla_iteration_scan():
     states = {}
     targets_seen = {}
     for kern in ("xla", "pallas"):
-        cfg = TrackerConfig(iterations=3, tracker_steps=2, probe_kernel=kern)
+        cfg = TrackerConfig(iterations=3, tracker_steps=2, probe_kernel=kern,
+                            probe_layout=probe_layout)
         step = tk.make_swarm_step(pts, cfg, dsp, ACFG)
         state = tk.swarm_init(cfg, jax.random.PRNGKey(7))
         state = state._replace(

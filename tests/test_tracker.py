@@ -202,8 +202,8 @@ def test_tracker_converges_with_horizontal_probes():
 
 def test_pallas_chain_fallback_emits_note(capsys):
     """probe_kernel='pallas' outside the kernel's coverage (FIR interp,
-    horizontal probes, sharded channels) falls back to the XLA chain WITH
-    a one-line stderr note (mirrors the fft->dense heatmap note)."""
+    sharded channels) falls back to the XLA chain WITH a one-line stderr
+    note (mirrors the fft->dense heatmap note)."""
     from beamforming_lk_tpu.config import ArrayConfig, DspConfig, TrackerConfig
     from beamforming_lk_tpu.models.tracker import make_swarm_step_impl
 
@@ -214,13 +214,14 @@ def test_pallas_chain_fallback_emits_note(capsys):
     err = capsys.readouterr().err
     assert "pallas" in err and "unavailable" in err and "fir" in err
 
+    # Supported configurations stay silent — including the horizontal
+    # N/E/S/W probe layout, covered by the kernel since round 4.
     make_swarm_step_impl(
         TrackerConfig(probe_kernel="pallas", probe_layout="horizontal"),
         DspConfig(), ArrayConfig(),
     )
-    assert "horizontal" in capsys.readouterr().err
+    assert "unavailable" not in capsys.readouterr().err
 
-    # The supported configuration stays silent.
     make_swarm_step_impl(
         TrackerConfig(probe_kernel="pallas"), DspConfig(), ArrayConfig(),
     )
