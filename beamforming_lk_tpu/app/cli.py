@@ -9,6 +9,7 @@ binaries and udpreplay: ``--source synthetic|pcap|udp|native``.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import math
 import sys
 
@@ -93,6 +94,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "blocks per device dispatch (~2x replay throughput "
                         "at 8 on TPU v5e; needs --mimo without "
                         "--tracking/--miso)")
+    p.add_argument("--heatmap-every", type=int, default=0,
+                   help="display-rate heatmap decimation: recompute the "
+                        "heatmap only every Nth block (tracker/MISO still "
+                        "step every block; the reference UI consumes ~every "
+                        "3rd map at 60 fps).  0/1 = every block; "
+                        "--realtime defaults this to 3")
     p.add_argument("--replay-batch", type=int, default=0,
                    help="blocks per device dispatch when replaying offline "
                         "sources (synthetic/pcap); 0 = --heatmap-chunk if "
@@ -193,11 +200,18 @@ def main(argv=None) -> int:
         mimo=MimoConfig(rows=args.mimo_res, columns=args.mimo_res,
                         fov_degrees=args.fov, backend=backend,
                         phat=args.phat,
-                        heatmap_chunk=max(args.heatmap_chunk, 0)),
+                        heatmap_chunk=max(args.heatmap_chunk, 0),
+                        heatmap_every=max(args.heatmap_every, 1)),
         tracker=TrackerConfig(fov_degrees=args.fov),
     )
     if args.realtime:
         cfg = cfg.realtime()
+        if args.heatmap_every:  # explicit flag overrides the profile's 3
+            cfg = dataclasses.replace(
+                cfg, mimo=dataclasses.replace(
+                    cfg.mimo, heatmap_every=args.heatmap_every
+                )
+            )
     n_arrays = max(args.arrays, len(args.port or []))
     logo = None
     if args.logo is not None:

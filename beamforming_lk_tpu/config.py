@@ -211,9 +211,11 @@ class Config:
 
     def realtime(self) -> "Config":
         """The measured deployment profile (docs/performance.md): bf16
-        compute, separable-fft heatmap, and the reference's real
+        compute, separable-fft heatmap, display-rate heatmap decimation
+        (recompute every 3rd block — the reference UI consumes ~every 3rd
+        map at 60 fps, aw_control_unit.cpp:189), and the reference's real
         until-next-block tracker cadence (~2 iterations,
-        gradient_ascend.cpp:315) — ~3x the default profile's fused-step
+        gradient_ascend.cpp:315) — ~5x the default profile's fused-step
         throughput with validated tracking quality.  Defaults stay on the
         f32/dense/10-iteration parity profile."""
         import jax  # lazy: config stays importable without a backend
@@ -224,7 +226,9 @@ class Config:
             dsp=dataclasses.replace(
                 self.dsp, compute="bfloat16", probe_compute="bfloat16"
             ),
-            mimo=dataclasses.replace(self.mimo, backend="fft"),
+            mimo=dataclasses.replace(
+                self.mimo, backend="fft", heatmap_every=3
+            ),
             tracker=dataclasses.replace(
                 self.tracker, iterations=2, probe_kernel=probe_kernel
             ),

@@ -252,19 +252,17 @@ def _monopulse_step(
 def _use_pallas_chain(cfg: TrackerConfig, dsp: DspConfig, axis_name) -> bool:
     """Gate for the Pallas monopulse-chain backend, with a visible fallback.
 
-    The kernel (ops/pallas_tracker.py) covers linear interpolation with
-    either probe layout (quadrant or nearby) on unsharded channels.
-    Anything else silently ran the ~2x slower XLA chain before; now the
-    fallback is announced once per step build (mirroring the fft->dense
-    heatmap note, app/awpu.py)."""
-    supported = dsp.interp == "linear" and axis_name is None
+    The kernel (ops/pallas_tracker.py) covers both interpolation modes
+    (linear and the in-kernel windowed-sinc FIR stencil) and both probe
+    layouts (quadrant and nearby) on unsharded channels.  A channel-sharded
+    mesh silently ran the ~2x slower XLA chain before; now the fallback is
+    announced once per step build (mirroring the fft->dense heatmap note,
+    app/awpu.py)."""
+    supported = axis_name is None
     if cfg.probe_kernel == "pallas" and not supported:
         import sys
 
-        why = (
-            f"interp={dsp.interp!r}" if dsp.interp != "linear"
-            else "sharded channels"
-        )
+        why = "sharded channels"
         print(
             f"tracker probe_kernel 'pallas' unavailable ({why}); "
             "using the XLA monopulse chain (see docs/performance.md)",
@@ -467,6 +465,8 @@ def make_swarm_step_impl(
                     error_threshold=cfg.error_threshold,
                     interpret=interpret,
                     probe_layout=cfg.probe_layout,
+                    taps=taps, interp=dsp.interp,
+                    fir_phases=dsp.fir_phases,
                 )
             )
             combo = Particles(th, ph, gt, gp, rad, err)
@@ -803,6 +803,8 @@ def make_fused_step_impl(
                     error_threshold=cfg.error_threshold,
                     interpret=interpret,
                     probe_layout=cfg.probe_layout,
+                    taps=taps, interp=dsp.interp,
+                    fir_phases=dsp.fir_phases,
                 )
             )
             combo = Particles(th, ph, gt, gp, rad, err)

