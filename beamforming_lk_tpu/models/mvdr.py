@@ -182,6 +182,13 @@ def _make_mvdr_impl(frame_size, hop, mask, ema_alpha, diagonal_loading,
 
         # Capon spectrum via the real block embedding: P = 1 / (v^H R^-1 v)
         # = 1 / || L^-1 v_emb ||^2 with M = L L^T.
+        #
+        # (Measured dead end, for the record: inverting L against the
+        # identity and running the direction stage as an einsum — matmul
+        # instead of a D-column triangular solve — is ~17% SLOWER on v5e
+        # at C=256: the per-block cost is dominated by the 512-dim
+        # factorization ops themselves, and the extra [2C, 2C] solve costs
+        # more than the MXU einsum saves.)
         m = hermitian_embed(r_loaded, cov_im)                    # [F, 2C, 2C]
         chol = jax.lax.linalg.cholesky(m)
         v_emb = jnp.concatenate([v_local[0], v_local[1]], axis=-1)  # [F, D, 2C]

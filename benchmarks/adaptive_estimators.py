@@ -88,7 +88,12 @@ def timed_rate(scan, state, blocks, n_small=8, target_dt=0.7):
     dt = max(t_large - t_small, 1e-9)
     rate = (n_large - n_small) / dt
     if dt < target_dt / 2:  # grow span until jitter is negligible
-        n_large = n_small + int(np.ceil(rate * target_dt / 8.0)) * 8
+        # Cap the grown span: a jittery timing pair can give dt ~ 0 and an
+        # absurd provisional rate (observed through the tunnel), which
+        # would otherwise overflow the scan length.
+        n_large = min(
+            n_small + int(np.ceil(rate * target_dt / 8.0)) * 8, 40_000
+        )
         t_large = min(run(n_large) for _ in range(3))
         dt = max(t_large - t_small, 1e-9)
         rate = (n_large - n_small) / dt
