@@ -531,6 +531,7 @@ class AwpuPipeline:
         enable_miso: bool = True,
         heatmap_mode: str = "das",
         channels: Optional[int] = None,
+        music_solver: str = "subspace",
     ):
         self.cfg = cfg
         if points is None:
@@ -577,7 +578,8 @@ class AwpuPipeline:
 
             theta, phi = mm.make_mimo_grid(cfg.mimo)
             self._mvdr_step, n_bins = mu.make_music_step(
-                self.points, theta, phi, cfg.array, channel_mask=channel_mask
+                self.points, theta, phi, cfg.array, channel_mask=channel_mask,
+                solver=music_solver,
             )
             self._mvdr_state = self._mvdr_step.init()
             self._mvdr_powers = None

@@ -77,6 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="adaptive (Capon) heatmap instead of DAS power")
     p.add_argument("--music", action="store_true",
                    help="MUSIC subspace DOA pseudo-spectrum heatmap")
+    p.add_argument("--music-solver", choices=["subspace", "eigh"],
+                   default="subspace",
+                   help="MUSIC decomposition: 'subspace' (default; "
+                        "warm-started signal-subspace tracking, ~80x "
+                        "faster) or 'eigh' (exact full "
+                        "eigendecomposition per bin)")
     p.add_argument("--realtime", action="store_true",
                    help="deployment profile: bf16 compute + fft heatmap + "
                         "2-iteration tracker cadence (~3x throughput, "
@@ -241,6 +247,7 @@ def main(argv=None) -> int:
         heatmap_mode=(
             "music" if args.music else "mvdr" if args.mvdr else "das"
         ),
+        music_solver=args.music_solver,
         flip=args.flipped,
         circle_mask=args.aesthetic,
         channels=args.channels,

@@ -49,6 +49,7 @@ class ControlUnit:
         mesh=None,
         seed: int = 0,
         heatmap_mode: str = "das",
+        music_solver: str = "subspace",
         flip: bool = False,
         circle_mask: bool = False,
         channels: Optional[int] = None,
@@ -75,6 +76,7 @@ class ControlUnit:
                 enable_miso=enable_miso,
                 heatmap_mode=heatmap_mode,
                 channels=channels,
+                music_solver=music_solver,
             )
             for i in range(n_arrays)
         ]

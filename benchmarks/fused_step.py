@@ -121,6 +121,17 @@ def main():
             mimo=MimoConfig(backend="fft", heatmap_every=3),
             tracker=TrackerConfig(iterations=2, probe_kernel="pallas"),
         ),
+        # In-kernel windowed-sinc FIR stencil (8-tap polyphase quality
+        # variant) at the deployment cadence — quantifies the cost of the
+        # higher-quality interpolation inside the whole-swarm kernel.
+        "bf16_fft_iter2_pallas_fir": dataclasses.replace(
+            base,
+            dsp=DspConfig(
+                compute="bfloat16", probe_compute="bfloat16", interp="fir"
+            ),
+            mimo=MimoConfig(backend="fft"),
+            tracker=TrackerConfig(iterations=2, probe_kernel="pallas"),
+        ),
         # Conservative 10-iteration profile with the Pallas chain.
         "bf16_fft_pallas": dataclasses.replace(
             base,

@@ -63,6 +63,8 @@ FUSED_NAMES = [
     ("bf16_fft_iter2", "real-time cadence (`iterations=2`), XLA chain"),
     ("bf16_fft_iter2_pallas",
      "real-time cadence + whole-swarm Pallas kernel"),
+    ("bf16_fft_iter2_pallas_fir",
+     "same, in-kernel 8-tap FIR stencil (`interp=\"fir\"` quality variant)"),
     ("bf16_fft_iter2_pallas_hm3",
      "**+ display-rate heatmap (`heatmap_every=3`, deployment)**"),
 ]
