@@ -140,11 +140,17 @@ def make_music_step(
 
 def _make_music_impl(
     frame_size, hop, mask, ema_alpha, c, k, solver="subspace",
-    subspace_iters=2,
+    subspace_iters=2, axis_name=None,
 ):
     """Per-block MUSIC update with operands (steering planes, DFT tables)
     as explicit arguments — shared by :func:`make_music_step` and the TPU
-    benchmark (which builds the 95 MB steering planes on device)."""
+    benchmark (which builds the 95 MB steering planes on device).
+
+    ``axis_name`` marks the bin axis as a mesh shard
+    (:func:`make_sharded_music_step`): the SNR bin-weight normalization
+    and the final pseudo-spectrum sum become psums; ``binw_local`` (an
+    optional trailing operand, 0 for padding bins) keeps padded shards
+    silent."""
     n_noise = 2 * (c - k)
 
     def _eigh_subspaces(m, state):
@@ -181,7 +187,7 @@ def _make_music_impl(
         noise_mean = (trace - jnp.sum(sig_vals, axis=-1)) / n_noise
         return q, sig_vals, noise_mean, q
 
-    def impl(state: MusicState, block, v_local, dft_local):
+    def impl(state: MusicState, block, v_local, dft_local, binw_local=None):
         xr, xi, n_frames = _stft_snapshots(block, dft_local, frame_size, hop, mask)
         r_re = (
             jnp.einsum("fcm,fdm->fcd", xr, xr)
@@ -215,10 +221,114 @@ def _make_music_impl(
         sig = jnp.maximum(
             jnp.sum(sig_vals, axis=-1) - 2 * k * noise_mean, 0.0
         )
-        w = sig / jnp.maximum(jnp.sum(sig), 1e-30)                 # [F]
+        if binw_local is not None:
+            sig = sig * binw_local
+        total_sig = jnp.sum(sig)
+        if axis_name is not None:
+            total_sig = jax.lax.psum(total_sig, axis_name)
+        w = sig / jnp.maximum(total_sig, 1e-30)                    # [F]
         pseudo = jnp.sum(w[:, None] / jnp.maximum(denom, 1e-12), axis=0)
+        if axis_name is not None:
+            pseudo = jax.lax.psum(pseudo, axis_name)
         new_state = MusicState(cov_re=cov_re, cov_im=cov_im,
                                count=state.count + 1, basis=basis)
         return new_state, pseudo
 
     return impl
+
+
+def make_sharded_music_step(
+    points,
+    theta,
+    phi,
+    mesh,
+    axis_name: str = "dir",
+    array_cfg: ArrayConfig = ArrayConfig(),
+    n_sources: int = 3,
+    frame_size: int = 64,
+    hop: int = 32,
+    f_low: float = 550.0,
+    f_high: float = 9000.0,
+    ema_alpha: float = 0.1,
+    channel_mask=None,
+    solver: str = "subspace",
+    subspace_iters: int = 2,
+):
+    """Bin-sharded wideband MUSIC (the estimator twin of
+    :func:`models.mvdr.make_sharded_mvdr_step`).
+
+    Returns ``(step, state)``: bins pad up to the shard count (padding bins
+    carry zero SNR weight), the per-bin covariance EMA *and* the tracked
+    signal basis live sharded on their shard, and only the [D]
+    pseudo-spectrum plus the scalar SNR normalizer cross the mesh (two
+    psums).  Bins are embarrassingly parallel, so this scales the per-bin
+    decomposition (eigh or subspace iteration) linearly.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_shards = dict(zip(mesh.axis_names, mesh.devices.shape))[axis_name]
+    bins = select_bins(frame_size, array_cfg.sample_rate, f_low, f_high)
+    pad = (-len(bins)) % n_shards
+    bins_p = np.concatenate([bins, np.repeat(bins[-1:], pad)])
+    binw_p = np.concatenate(
+        [np.ones(len(bins), np.float32), np.zeros(pad, np.float32)]
+    )
+    freqs = np.fft.rfftfreq(frame_size, 1.0 / array_cfg.sample_rate)[bins_p]
+    v = steering_matrix(points, theta, phi, freqs, array_cfg)
+    dft_np = dft_tables(frame_size, bins_p)
+    mask = None if channel_mask is None else jnp.asarray(channel_mask, jnp.float32)
+    c = int(np.asarray(points).shape[1])
+    k = int(n_sources)
+    if not 0 < k < c:
+        raise ValueError(f"n_sources must be in (0, {c}), got {k}")
+
+    impl = _make_music_impl(
+        frame_size, hop, mask, ema_alpha, c, k, solver, subspace_iters,
+        axis_name=axis_name,
+    )
+    f_pad = len(bins_p)
+
+    state_spec = MusicState(
+        cov_re=P(axis_name, None, None),
+        cov_im=P(axis_name, None, None),
+        count=P(),
+        basis=P(axis_name, None, None),
+    )
+    sharded = jax.shard_map(
+        impl,
+        mesh=mesh,
+        in_specs=(state_spec, P(None, None), P(None, axis_name, None, None),
+                  P(None, None, axis_name), P(axis_name)),
+        out_specs=(state_spec, P()),
+    )
+    v_dev = jax.device_put(
+        jnp.asarray(v), NamedSharding(mesh, P(None, axis_name, None, None))
+    )
+    dft_dev = jax.device_put(
+        jnp.asarray(dft_np), NamedSharding(mesh, P(None, None, axis_name))
+    )
+    binw_dev = jax.device_put(
+        jnp.asarray(binw_p), NamedSharding(mesh, P(axis_name))
+    )
+    jitted = jax.jit(sharded)
+
+    def step(state, block):
+        return jitted(state, block, v_dev, dft_dev, binw_dev)
+
+    step._jitted = jitted
+    step._operands = (v_dev, dft_dev, binw_dev)
+
+    init = music_init(f_pad, c, k)
+    state = MusicState(
+        cov_re=jax.device_put(
+            init.cov_re, NamedSharding(mesh, P(axis_name, None, None))
+        ),
+        cov_im=jax.device_put(
+            init.cov_im, NamedSharding(mesh, P(axis_name, None, None))
+        ),
+        count=init.count,
+        basis=jax.device_put(
+            init.basis, NamedSharding(mesh, P(axis_name, None, None))
+        ),
+    )
+    return step, state

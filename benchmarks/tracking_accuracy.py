@@ -37,13 +37,16 @@ def run_scenario(
     seed: int = 0,
     probe_compute: str = "float32",
     probe_kernel: str = "xla",
+    interp: str = "linear",
+    probe_layout: str = "quadrant",
 ):
     from beamforming_lk_tpu.config import DspConfig
 
     cfg = Config(
-        dsp=DspConfig(probe_compute=probe_compute),
+        dsp=DspConfig(probe_compute=probe_compute, interp=interp),
         mimo=MimoConfig(rows=8, columns=8),
-        tracker=TrackerConfig(iterations=4, probe_kernel=probe_kernel),
+        tracker=TrackerConfig(iterations=4, probe_kernel=probe_kernel,
+                              probe_layout=probe_layout),
     )
     pipe = AwpuPipeline(cfg, seed=seed, enable_mimo=False, enable_miso=False)
     dt = cfg.dsp.block_seconds
@@ -198,6 +201,21 @@ if __name__ == "__main__":
                 indent=2,
             ),
         )
+        # Round-4 kernel coverage: the in-kernel FIR stencil and the
+        # horizontal N/E/S/W probe layout must track as well as the
+        # deployment config.
+        for label, kw in (
+            ("bfloat16+pallas_fir", dict(interp="fir")),
+            ("bfloat16+pallas_horizontal", dict(probe_layout="horizontal")),
+        ):
+            print(
+                label,
+                json.dumps(
+                    run_scenario(probe_compute="bfloat16",
+                                 probe_kernel="pallas", **kw),
+                    indent=2,
+                ),
+            )
     for n in (2, 3):
         print(
             f"multi{n}",

@@ -150,3 +150,37 @@ def test_music_subspace_solver_matches_eigh():
     np.testing.assert_allclose(
         gram, np.broadcast_to(np.eye(q.shape[-1]), gram.shape), atol=1e-5
     )
+
+
+def test_bin_sharded_music_matches_dense():
+    """Bins sharded over the mesh (make_sharded_music_step): the sharded
+    pseudo-spectrum — per-bin covariance EMA and tracked basis resident on
+    their shards, SNR weights and spectrum psum'd — matches the
+    single-device path."""
+    import jax.numpy as jnp
+    from beamforming_lk_tpu.models.music import make_sharded_music_step
+    from beamforming_lk_tpu.parallel import mesh as pm
+
+    src = (0.5, 1.2, 4000.0)
+    pts = ant.create_antenna_grid()
+    theta, phi = mm.make_mimo_grid(MimoConfig(rows=12, columns=12))
+
+    dense_step, _ = mu.make_music_step(pts, theta, phi, ACFG, n_sources=2)
+    dense_state = dense_step.init()
+
+    mesh = pm.make_mesh((1, 8))
+    sh_step, sh_state = make_sharded_music_step(
+        pts, theta, phi, mesh, n_sources=2
+    )
+
+    for b in range(5):
+        block = jnp.asarray(plane_wave_block(
+            pts, [src], b * 256, 256, ACFG, noise_std=0.05
+        ))
+        dense_state, dense_p = dense_step(dense_state, block)
+        sh_state, sh_p = sh_step(sh_state, block)
+
+    a = np.asarray(dense_p, np.float64)
+    b = np.asarray(sh_p, np.float64)
+    np.testing.assert_allclose(b, a, rtol=5e-4)
+    assert int(np.argmax(a)) == int(np.argmax(b))
