@@ -152,11 +152,15 @@ def test_music_subspace_solver_matches_eigh():
     )
 
 
-def test_bin_sharded_music_matches_dense():
+import pytest
+
+
+@pytest.mark.parametrize("solver", ["subspace", "eigh"])
+def test_bin_sharded_music_matches_dense(solver):
     """Bins sharded over the mesh (make_sharded_music_step): the sharded
     pseudo-spectrum — per-bin covariance EMA and tracked basis resident on
     their shards, SNR weights and spectrum psum'd — matches the
-    single-device path."""
+    single-device path, for both solvers."""
     import jax.numpy as jnp
     from beamforming_lk_tpu.models.music import make_sharded_music_step
     from beamforming_lk_tpu.parallel import mesh as pm
@@ -165,12 +169,14 @@ def test_bin_sharded_music_matches_dense():
     pts = ant.create_antenna_grid()
     theta, phi = mm.make_mimo_grid(MimoConfig(rows=12, columns=12))
 
-    dense_step, _ = mu.make_music_step(pts, theta, phi, ACFG, n_sources=2)
+    dense_step, _ = mu.make_music_step(
+        pts, theta, phi, ACFG, n_sources=2, solver=solver
+    )
     dense_state = dense_step.init()
 
     mesh = pm.make_mesh((1, 8))
     sh_step, sh_state = make_sharded_music_step(
-        pts, theta, phi, mesh, n_sources=2
+        pts, theta, phi, mesh, n_sources=2, solver=solver
     )
 
     for b in range(5):
