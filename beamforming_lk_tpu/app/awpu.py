@@ -532,6 +532,7 @@ class AwpuPipeline:
         heatmap_mode: str = "das",
         channels: Optional[int] = None,
         music_solver: str = "subspace",
+        music_sources: int = 3,
     ):
         self.cfg = cfg
         if points is None:
@@ -579,7 +580,7 @@ class AwpuPipeline:
             theta, phi = mm.make_mimo_grid(cfg.mimo)
             self._mvdr_step, n_bins = mu.make_music_step(
                 self.points, theta, phi, cfg.array, channel_mask=channel_mask,
-                solver=music_solver,
+                solver=music_solver, n_sources=music_sources,
             )
             self._mvdr_state = self._mvdr_step.init()
             self._mvdr_powers = None

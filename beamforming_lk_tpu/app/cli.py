@@ -77,6 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="adaptive (Capon) heatmap instead of DAS power")
     p.add_argument("--music", action="store_true",
                    help="MUSIC subspace DOA pseudo-spectrum heatmap")
+    p.add_argument("--music-sources", type=int, default=3,
+                   help="MUSIC model order K (assumed number of "
+                        "simultaneous sources; slight overestimates are "
+                        "benign)")
     p.add_argument("--music-solver", choices=["subspace", "eigh"],
                    default="subspace",
                    help="MUSIC decomposition: 'subspace' (default; "
@@ -248,6 +252,7 @@ def main(argv=None) -> int:
             "music" if args.music else "mvdr" if args.mvdr else "das"
         ),
         music_solver=args.music_solver,
+        music_sources=args.music_sources,
         flip=args.flipped,
         circle_mask=args.aesthetic,
         channels=args.channels,

@@ -50,6 +50,7 @@ class ControlUnit:
         seed: int = 0,
         heatmap_mode: str = "das",
         music_solver: str = "subspace",
+        music_sources: int = 3,
         flip: bool = False,
         circle_mask: bool = False,
         channels: Optional[int] = None,
@@ -77,6 +78,7 @@ class ControlUnit:
                 heatmap_mode=heatmap_mode,
                 channels=channels,
                 music_solver=music_solver,
+                music_sources=music_sources,
             )
             for i in range(n_arrays)
         ]
