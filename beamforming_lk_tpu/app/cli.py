@@ -104,12 +104,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "blocks per device dispatch (~2x replay throughput "
                         "at 8 on TPU v5e; needs --mimo without "
                         "--tracking/--miso)")
-    p.add_argument("--heatmap-every", type=int, default=0,
+    p.add_argument("--heatmap-every", type=int, default=None,
                    help="display-rate heatmap decimation: recompute the "
                         "heatmap only every Nth block (tracker/MISO still "
                         "step every block; the reference UI consumes ~every "
-                        "3rd map at 60 fps).  0/1 = every block; "
-                        "--realtime defaults this to 3")
+                        "3rd map at 60 fps).  0/1 = every block (also "
+                        "overriding --realtime's default of 3)")
     p.add_argument("--replay-batch", type=int, default=0,
                    help="blocks per device dispatch when replaying offline "
                         "sources (synthetic/pcap); 0 = --heatmap-chunk if "
@@ -211,15 +211,17 @@ def main(argv=None) -> int:
                         fov_degrees=args.fov, backend=backend,
                         phat=args.phat,
                         heatmap_chunk=max(args.heatmap_chunk, 0),
-                        heatmap_every=max(args.heatmap_every, 1)),
+                        heatmap_every=max(args.heatmap_every or 0, 1)),
         tracker=TrackerConfig(fov_degrees=args.fov),
     )
     if args.realtime:
         cfg = cfg.realtime()
-        if args.heatmap_every:  # explicit flag overrides the profile's 3
+        if args.heatmap_every is not None:
+            # Explicit flag overrides the profile's 3 — including
+            # --heatmap-every 0/1 to force every-block recompute.
             cfg = dataclasses.replace(
                 cfg, mimo=dataclasses.replace(
-                    cfg.mimo, heatmap_every=args.heatmap_every
+                    cfg.mimo, heatmap_every=max(args.heatmap_every, 1)
                 )
             )
     n_arrays = max(args.arrays, len(args.port or []))

@@ -270,6 +270,31 @@ class ControlUnit:
         self.pipelines[tile].steer(theta, phi)
         return tile, theta, phi
 
+    @staticmethod
+    def _toggle_record(recorder, record_avi, record_count):
+        """Start/stop AVI capture (the reference's runtime 'r' toggle,
+        aw_control_unit.cpp:150-162).  Returns the new (recorder, count);
+        re-starts write numbered siblings of the base path so an earlier
+        capture is never overwritten."""
+        import sys
+
+        if recorder is not None:
+            recorder.close()
+            print("recording stopped", file=sys.stderr)
+            return None, record_count
+        from beamforming_lk_tpu.utils.video import VideoRecorder
+
+        base = record_avi or "recording.avi"
+        root, ext = os.path.splitext(base)
+        path = base if record_count == 0 else f"{root}_{record_count}{ext}"
+        try:
+            recorder = VideoRecorder(path)
+        except RuntimeError as e:  # no cv2 — degrade like the reference
+            print(f"recording unavailable: {e}", file=sys.stderr)
+            return None, record_count
+        print(f"recording started: {path}", file=sys.stderr)
+        return recorder, record_count + 1
+
     def best_track(self):
         return self.fusion.store.best if self.fusion is not None else None
 
@@ -348,10 +373,12 @@ class ControlUnit:
                 print(f"audio playback disabled: {e}", file=__import__("sys").stderr)
                 play = None
         recorder = screen = None
+        record_count = 0
         if record_avi is not None:
             from beamforming_lk_tpu.utils.video import VideoRecorder
 
             recorder = VideoRecorder(record_avi)
+            record_count = 1
         if display:
             from beamforming_lk_tpu.utils.video import LiveDisplay
 
@@ -424,8 +451,18 @@ class ControlUnit:
                     if recorder is not None:
                         recorder.write(frame)
                     if screen is not None:
-                        if screen.show(frame) == "q":
+                        key = screen.show(frame)
+                        if key == "q":
                             break  # reference UI: 'q' quits
+                        if key == "r":
+                            # Runtime record toggle (the reference's 'r' key
+                            # starts/stops AVI capture mid-run,
+                            # aw_control_unit.cpp:150-162).  --record makes
+                            # the run start already recording; each re-start
+                            # opens a fresh numbered file.
+                            recorder, record_count = self._toggle_record(
+                                recorder, record_avi, record_count
+                            )
                         for r, c in screen.pop_clicks():
                             self.handle_click(r, c)  # click-to-steer
                     if on_frame is not None:

@@ -81,11 +81,20 @@ def read_pcap_payloads(path: str, port: Optional[int] = None) -> Iterator[bytes]
 
 
 def write_pcap(path: str, payloads, dst_port: int = 21844) -> None:
-    """Write UDP payloads as a minimal raw-IP pcap (test fixture builder)."""
+    """Write UDP payloads as a minimal raw-IP pcap (test fixture builder).
+
+    Each payload may be raw ``bytes`` (sent to ``dst_port``) or a
+    ``(bytes, port)`` pair — mixed ports model multi-FPGA captures (the
+    reference replays one wireshark capture carrying several links,
+    udp/README.md; ``replay_blocks(port=...)`` filters one link back out).
+    """
     with open(path, "wb") as f:
         f.write(struct.pack("<IHHiIII", PCAP_MAGIC_LE, 2, 4, 0, 0, 65535, LINKTYPE_RAW))
         for i, payload in enumerate(payloads):
-            udp = struct.pack(">HHHH", 12345, dst_port, 8 + len(payload), 0) + payload
+            port = dst_port
+            if isinstance(payload, tuple):
+                payload, port = payload
+            udp = struct.pack(">HHHH", 12345, port, 8 + len(payload), 0) + payload
             ip = (
                 bytes([0x45, 0])
                 + struct.pack(">H", 20 + len(udp))

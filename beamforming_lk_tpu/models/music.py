@@ -156,12 +156,17 @@ def _make_music_impl(
     def _eigh_subspaces(m, state):
         # Exact path: full ascending eigendecomposition of the embedding;
         # R's eigenvalues each appear twice, the last 2K eigenvectors span
-        # (the embedding of) the signal subspace.
+        # (the embedding of) the signal subspace.  The noise basis En (the
+        # first 2(C-K) eigenvectors) is returned too: the truth path keeps
+        # the DIRECT noise-projection norm ||En^T v||^2, which retains full
+        # f32 precision near spectrum peaks where the complement identity
+        # ||v||^2 - ||Es^T v||^2 cancels catastrophically (||v||^2 ~ 2C, so
+        # the difference floors at ~C*eps absolute).
         vals, vecs = jnp.linalg.eigh(m)              # [F, 2C], [F, 2C, 2C]
-        es = vecs[..., n_noise:]                     # [F, 2C, 2K]
+        en = vecs[..., :n_noise]                     # [F, 2C, 2(C-K)]
         sig_vals = vals[..., n_noise:]               # [F, 2K]
         noise_mean = jnp.mean(vals[..., :n_noise], axis=-1)        # [F]
-        return es, sig_vals, noise_mean, state.basis
+        return en, sig_vals, noise_mean, state.basis
 
     def _tracked_subspaces(m, state):
         # Streaming path: warm-started orthogonal (subspace) iteration on
@@ -203,17 +208,25 @@ def _make_music_impl(
         cov_im = (1.0 - alpha) * state.cov_im + alpha * r_im
 
         m = hermitian_embed(cov_re, cov_im)          # [F, 2C, 2C]
+        v_emb = jnp.concatenate([v_local[0], v_local[1]], axis=-1)  # [F, D, 2C]
         if solver == "eigh":
-            es, sig_vals, noise_mean, basis = _eigh_subspaces(m, state)
+            # Truth path: direct noise-projection norm ||En^T v||^2 — full
+            # f32 precision (no cancellation), affordable because eigh is
+            # the slow exact solver anyway.
+            en, sig_vals, noise_mean, basis = _eigh_subspaces(m, state)
+            yn = jnp.einsum("fck,fdc->fdk", en, v_emb)   # [F, D, 2(C-K)]
+            denom = jnp.sum(yn * yn, axis=-1)
         else:
             es, sig_vals, noise_mean, basis = _tracked_subspaces(m, state)
-        v_emb = jnp.concatenate([v_local[0], v_local[1]], axis=-1)  # [F, D, 2C]
-        # Noise-projection norm of each steering vector via the complement
-        # identity ||En^T a||^2 = ||a||^2 - ||Es^T a||^2 (equals the complex
-        # ||En^H v||^2 — the projector is basis-independent per eigenspace).
-        # 2K columns instead of 2(C-K): ~20x fewer MACs at K=3, C=64.
-        y = jnp.einsum("fck,fdc->fdk", es, v_emb)    # [F, D, 2K]
-        denom = jnp.sum(v_emb * v_emb, axis=-1) - jnp.sum(y * y, axis=-1)
+            # Streaming path: complement identity ||En^T a||^2 =
+            # ||a||^2 - ||Es^T a||^2 (equals the complex ||En^H v||^2 — the
+            # projector is basis-independent per eigenspace).  2K columns
+            # instead of 2(C-K): ~20x fewer MACs at K=3, C=64.  The
+            # subtraction cancels catastrophically near peaks (||v||^2 ~ 2C),
+            # so the floor below reflects the real f32 resolution ~C*eps
+            # rather than pretending to 1e-12.
+            y = jnp.einsum("fck,fdc->fdk", es, v_emb)    # [F, D, 2K]
+            denom = jnp.sum(v_emb * v_emb, axis=-1) - jnp.sum(y * y, axis=-1)
         # SNR-weighted incoherent combining: weight each bin by its signal
         # eigenvalue mass above the noise floor, so noise-only bins (whose
         # "noise subspace" is random) do not dilute narrowband sources.
@@ -227,7 +240,13 @@ def _make_music_impl(
         if axis_name is not None:
             total_sig = jax.lax.psum(total_sig, axis_name)
         w = sig / jnp.maximum(total_sig, 1e-30)                    # [F]
-        pseudo = jnp.sum(w[:, None] / jnp.maximum(denom, 1e-12), axis=0)
+        # Denominator floor: the eigh truth path's direct norm resolves down
+        # to underflow; the subspace path's complement subtraction cannot
+        # resolve below ~2C*eps_f32 absolute, so clamp there.
+        floor = 1e-12 if solver == "eigh" else 2.0 * c * float(
+            np.finfo(np.float32).eps
+        )
+        pseudo = jnp.sum(w[:, None] / jnp.maximum(denom, floor), axis=0)
         if axis_name is not None:
             pseudo = jax.lax.psum(pseudo, axis_name)
         new_state = MusicState(cov_re=cov_re, cov_im=cov_im,
@@ -281,6 +300,8 @@ def make_sharded_music_step(
     k = int(n_sources)
     if not 0 < k < c:
         raise ValueError(f"n_sources must be in (0, {c}), got {k}")
+    if solver not in ("subspace", "eigh"):
+        raise ValueError(f"solver must be 'subspace' or 'eigh', got {solver!r}")
 
     impl = _make_music_impl(
         frame_size, hop, mask, ema_alpha, c, k, solver, subspace_iters,

@@ -382,6 +382,15 @@ def power_matmul_pallas(a_re, a_im, pow_cos, pow_msin, *, tile_d: int = 256,
     """``powers[D] = sum_t (a_re @ pow_cos + a_im @ pow_msin)[d, t]^2``
     without materializing the [D, T] beam in HBM.
 
+    STATUS (measured, v5e, BENCH_r04): research baseline — the plain XLA
+    batched-einsum power stage beats this kernel at the chunked north star
+    (27 540 vs 19 346 blocks/s) once its prep (pad/reshape into
+    direction-major tiles) is counted, so the fft model defaults to
+    ``power_path="fused"`` (XLA) and ``Config.realtime()`` never selects
+    this.
+    Kept as the measured XLA-vs-Pallas evidence for the power stage (see
+    docs/performance.md "TPU bench findings").
+
     a_re/a_im: [D, F] steered beam spectra planes, direction-major (row
     tiles are contiguous DMAs), any float dtype — bf16 runs the MXU at full
     rate with f32 accumulation.  pow_cos/pow_msin: [F, Tp] halves of the

@@ -1,12 +1,28 @@
 """Pallas TPU kernel for fractional-delay delay-and-sum.
 
-The dense path (ops/delay.py) materializes the one-hot stencil
-``W[D, C, S]`` in HBM and streams it through one big matmul — at the
-north-star config (D=4225, C=256, S=64) that is ~280 MB of HBM traffic per
-5.24 ms block.  This kernel rebuilds the stencil ON THE FLY in VMEM from
-the compact delay split (``shift[D, C]`` int32 + ``tap_weights[D, C, taps]``,
-~6 MB total), so the dominant HBM stream drops to the unfolded window
-(``C*S x T``, 16 MB f32 / 8 MB bf16, re-read once per direction tile).
+STATUS (measured, v5e, BENCH_r04): **research baseline, not the production
+path.**  This kernel is strictly dominated by the XLA alternatives it was
+built to beat — dense bf16 stencil 4 497 blocks/s vs 3 213 here, and the
+separable-fft backend 4-8x faster still — so ``make_awpu_step`` /
+``Config.realtime()`` never select it.  The HBM-traffic argument below is
+real but loses in practice: XLA's own HBM pipelining of the precomputed
+stencil matmul outruns the in-kernel rebuild (the rebuild spends VPU time
+inside the MXU's inner loop), and the fft path removes the redundant FLOPs
+entirely instead of streaming them faster.  The kernel stays as (a) the
+measured evidence for that design conclusion (docs/performance.md "The
+Pallas DAS kernel"), and (b) the working template for ops that DO need
+on-the-fly stencils (per-direction dynamic delays that cannot be
+precomputed — the whole-swarm tracker kernel in ops/pallas_tracker.py is
+exactly that, and it DOES win).
+
+Original motivation, for the record: the dense path (ops/delay.py)
+materializes the one-hot stencil ``W[D, C, S]`` in HBM and streams it
+through one big matmul — at the north-star config (D=4225, C=256, S=64)
+that is ~280 MB of HBM traffic per 5.24 ms block.  This kernel rebuilds
+the stencil ON THE FLY in VMEM from the compact delay split
+(``shift[D, C]`` int32 + ``tap_weights[D, C, taps]``, ~6 MB total), so the
+dominant HBM stream drops to the unfolded window (``C*S x T``, 16 MB f32 /
+8 MB bf16, re-read once per direction tile).
 
 Design notes (v3 — deliberately boring, after two Mosaic compile hangs on
 rolls / span-chunked scratch variants):

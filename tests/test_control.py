@@ -335,6 +335,87 @@ def test_cli_heatmap_chunk_replay(tmp_path, capsys):
     assert np.abs(frames["chunk"] - frames["plain"]).max() <= 1
 
 
+def test_runtime_record_toggle(monkeypatch, tmp_path):
+    """The 'r' key starts/stops AVI capture mid-run (the reference's runtime
+    toggle, aw_control_unit.cpp:150-162): pressing 'r' with no recorder opens
+    one, pressing it again closes it, and a re-start writes a numbered
+    sibling so the first capture survives."""
+    from beamforming_lk_tpu.utils import video as vid
+
+    opened, closed = [], []
+
+    class _FakeRecorder:
+        def __init__(self, path, fps=60.0):
+            self.path = path
+            opened.append(path)
+
+        def write(self, frame):
+            pass
+
+        def close(self):
+            closed.append(self.path)
+
+    monkeypatch.setattr(vid, "VideoRecorder", _FakeRecorder)
+    base = str(tmp_path / "cap.avi")
+
+    rec, n = ControlUnit._toggle_record(None, base, 0)
+    assert isinstance(rec, _FakeRecorder) and rec.path == base and n == 1
+    rec2, n = ControlUnit._toggle_record(rec, base, n)
+    assert rec2 is None and closed == [base] and n == 1
+    rec3, n = ControlUnit._toggle_record(None, base, n)
+    assert rec3.path == str(tmp_path / "cap_1.avi") and n == 2
+    # Default path when --record was never given.
+    rec4, n4 = ControlUnit._toggle_record(None, None, 0)
+    assert rec4.path == "recording.avi" and n4 == 1
+
+
+def test_runtime_record_toggle_in_run_loop(monkeypatch, tmp_path):
+    """End-to-end: a display whose key stream is r, None, r, q makes the run
+    loop record exactly the frames between the two presses."""
+    from beamforming_lk_tpu.utils import video as vid
+
+    frames_written = []
+
+    class _FakeRecorder:
+        def __init__(self, path, fps=60.0):
+            self.path = path
+
+        def write(self, frame):
+            frames_written.append(np.asarray(frame).shape)
+
+        def close(self):
+            pass
+
+    class _FakeDisplay:
+        def __init__(self, title="x"):
+            self.keys = iter(["r", None, "r", "q"])
+
+        def show(self, frame):
+            return next(self.keys, None)
+
+        def pop_clicks(self):
+            return []
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(vid, "VideoRecorder", _FakeRecorder)
+    monkeypatch.setattr(vid, "LiveDisplay", _FakeDisplay)
+    cfg = Config(mimo=MimoConfig(rows=8, columns=8),
+                 tracker=TrackerConfig(iterations=2))
+    unit = ControlUnit(cfg, n_arrays=1, enable_tracker=False)
+    pts = unit.pipelines[0].points
+    blocks = [
+        plane_wave_block(pts, [(0.3, 1.0, 4000.0)], b * 256, 256, cfg.array)
+        for b in range(8)
+    ]
+    unit.run([blocks], n_blocks=8, render_every=1, display=True)
+    # Keys fire on render boundaries 1..: 'r' starts after frame 1, so
+    # frames 2 and 3 are written ('r' at frame 3 stops AFTER the write;
+    # the reference's toggle likewise applies from the next frame).
+    assert len(frames_written) == 2, frames_written
+
+
 def test_cli_realtime_implies_heatmap_decimation(monkeypatch):
     """--realtime deploys the measured profile incl. heatmap_every=3;
     an explicit --heatmap-every overrides it (app/cli.py)."""
@@ -355,6 +436,9 @@ def test_cli_realtime_implies_heatmap_decimation(monkeypatch):
     for argv, want in (
         (["--tracking", "--realtime"], 3),
         (["--tracking", "--realtime", "--heatmap-every", "5"], 5),
+        # 0 and 1 both force every-block recompute, overriding --realtime's 3.
+        (["--tracking", "--realtime", "--heatmap-every", "1"], 1),
+        (["--tracking", "--realtime", "--heatmap-every", "0"], 1),
         (["--tracking", "--heatmap-every", "2"], 2),
         (["--tracking"], 1),
     ):

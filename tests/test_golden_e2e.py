@@ -54,6 +54,86 @@ def _write_moving_source_pcap(path: str) -> None:
     pc.write_pcap(path, payloads, dst_port=21844)
 
 
+def _write_two_array_pcap(path: str, positions, trajectory) -> None:
+    """Wire-format capture of TWO array links (one dst port each, mixed in
+    one file like a real multi-FPGA wireshark capture) observing one moving
+    world target: per block, each array sees the plane wave from ITS
+    direction to the target (the 2-FPGA concurrent-beamforming demo,
+    /root/reference/README.md:10)."""
+    from beamforming_lk_tpu.ops.geometry import cartesian_to_spherical
+
+    points = ant.create_antenna_grid(8, 8, 0.02)
+    acfg = ArrayConfig()
+    payloads = []
+    for b, target in enumerate(trajectory):
+        per_array_wire = []
+        for a, pos in enumerate(positions):
+            d = np.asarray(target, np.float64) - np.asarray(pos, np.float64)
+            th, ph, _ = np.asarray(cartesian_to_spherical(d / np.linalg.norm(d)))
+            block = plane_wave_block(
+                points, [(float(th), float(ph), SRC_FREQ)],
+                b * BLOCK, BLOCK, acfg, noise_std=0.02,
+            )
+            per_array_wire.append(pk.build_packets(block, start_counter=b * BLOCK))
+        # Interleave per sample, as simultaneous links appear on the wire.
+        for i in range(BLOCK):
+            for a, wire in enumerate(per_array_wire):
+                payloads.append((
+                    wire[i * pk.PACKET_SIZE:(i + 1) * pk.PACKET_SIZE],
+                    21844 + a,
+                ))
+    pc.write_pcap(path, payloads)
+
+
+def test_two_array_wire_to_geopoint_golden(tmp_path):
+    """Flagship demo path as one golden test: two-array wire capture ->
+    CLI with fusion + WARA PS NDJSON sink -> published GeoPoints track the
+    truth trajectory (triangulate.cpp:43-54, target_handler.cpp:172-222).
+
+    The CLI registers two arrays at the reference's hardcoded +/-1 m
+    x-offsets (aw_control_unit.cpp:261-265), so the capture is synthesized
+    against exactly those positions."""
+    import json
+
+    from beamforming_lk_tpu.app.cli import main
+
+    positions = [(-1.0, 0.0, 0.0), (1.0, 0.0, 0.0)]
+    n = 24
+    trajectory = [
+        np.array([0.2 + 0.4 * b / (n - 1), -0.2 + 0.5 * b / (n - 1), 5.0])
+        for b in range(n)
+    ]
+    cap = str(tmp_path / "two_array.pcap")
+    _write_two_array_pcap(cap, positions, trajectory)
+    ndjson = str(tmp_path / "telemetry.ndjson")
+    lat0, lon0, alt0 = 57.76, 16.68, 10.0
+
+    rc = main([
+        "--source", "pcap", "--pcap", cap,
+        "--port", "21844", "--port", "21845", "--arrays", "2",
+        "--tracking", "--blocks", str(n), "--mimo-res", "16",
+        "--wara-ps", "--telemetry-file", ndjson,
+        "--gps", str(lat0), str(lon0), str(alt0),
+        "--render-every", "4",
+    ])
+    assert rc == 0
+
+    with open(ndjson) as f:
+        msgs = [json.loads(line) for line in f if line.strip()]
+    geo = [m["payload"] for m in msgs if m["topic"] == "sensor/position"]
+    assert geo, "no GeoPoint published"
+    for g in geo:
+        assert g["type"] == "GeoPoint"
+        # Invert the publish transform (heading 0: out = (x, z, y); lat from
+        # x, lon from z, alt from y — models/fusion.py position_to_gps).
+        x = (g["latitude"] - lat0) * 111111.0
+        z = (g["longitude"] - lon0) * 111111.0 * math.cos(math.radians(lat0))
+        y = g["altitude"] - alt0
+        p = np.array([x, y, z])
+        err = min(np.linalg.norm(p - t) for t in trajectory)
+        assert err < 1.5, (p, err)
+
+
 def test_wire_to_track_golden(tmp_path, capsys):
     from beamforming_lk_tpu.app.cli import main
     from beamforming_lk_tpu.utils.png import read_png
