@@ -533,6 +533,7 @@ class AwpuPipeline:
         channels: Optional[int] = None,
         music_solver: str = "subspace",
         music_sources: int = 3,
+        mvdr_refresh: int = 1,
     ):
         self.cfg = cfg
         if points is None:
@@ -567,9 +568,10 @@ class AwpuPipeline:
 
             theta, phi = mm.make_mimo_grid(cfg.mimo)
             self._mvdr_step, n_bins = mv.make_mvdr_step(
-                self.points, theta, phi, cfg.array, channel_mask=channel_mask
+                self.points, theta, phi, cfg.array, channel_mask=channel_mask,
+                weight_refresh=mvdr_refresh,
             )
-            self._mvdr_state = mv.mvdr_init(n_bins, self.points.shape[1])
+            self._mvdr_state = self._mvdr_step.init()
             self._mvdr_powers = None
             self._mvdr_prev = jnp.zeros((), jnp.float32)
         elif heatmap_mode == "music":

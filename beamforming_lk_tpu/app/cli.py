@@ -81,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="MUSIC model order K (assumed number of "
                         "simultaneous sources; slight overestimates are "
                         "benign)")
+    p.add_argument("--mvdr-refresh", type=int, default=1,
+                   help="recompute the Capon solve only every Nth block "
+                        "(the covariance EMA still updates every block) — "
+                        "the display-rate decimation that breaks the "
+                        "256-mic Cholesky cost wall (docs/performance.md)")
     p.add_argument("--music-solver", choices=["subspace", "eigh"],
                    default="subspace",
                    help="MUSIC decomposition: 'subspace' (default; "
@@ -255,6 +260,7 @@ def main(argv=None) -> int:
         ),
         music_solver=args.music_solver,
         music_sources=args.music_sources,
+        mvdr_refresh=max(args.mvdr_refresh, 1),
         flip=args.flipped,
         circle_mask=args.aesthetic,
         channels=args.channels,

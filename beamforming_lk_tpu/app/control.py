@@ -51,6 +51,7 @@ class ControlUnit:
         heatmap_mode: str = "das",
         music_solver: str = "subspace",
         music_sources: int = 3,
+        mvdr_refresh: int = 1,
         flip: bool = False,
         circle_mask: bool = False,
         channels: Optional[int] = None,
@@ -79,6 +80,7 @@ class ControlUnit:
                 channels=channels,
                 music_solver=music_solver,
                 music_sources=music_sources,
+                mvdr_refresh=mvdr_refresh,
             )
             for i in range(n_arrays)
         ]

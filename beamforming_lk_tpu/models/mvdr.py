@@ -29,7 +29,7 @@ bins sharded across the pod" story).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,9 +43,17 @@ class MvdrState(NamedTuple):
     cov_re: jnp.ndarray  # [F, C, C] float32, symmetric plane of R
     cov_im: jnp.ndarray  # [F, C, C] float32, antisymmetric plane of R
     count: jnp.ndarray   # [] int32 blocks folded in
+    # [D] last refreshed Capon powers, carried between refreshes when
+    # ``weight_refresh > 1`` (None — an empty pytree leaf — otherwise, so
+    # every-block MVDR keeps its exact original state shape).
+    powers: Optional[jnp.ndarray] = None
 
 
-def mvdr_init(n_bins: int, channels: int) -> MvdrState:
+def mvdr_init(
+    n_bins: int, channels: int, n_directions: Optional[int] = None
+) -> MvdrState:
+    """``n_directions`` sizes the carried spectrum — required when the step
+    was built with ``weight_refresh > 1``."""
     eye = jnp.eye(channels, dtype=jnp.float32)
     return MvdrState(
         cov_re=jnp.broadcast_to(eye, (n_bins, channels, channels)).astype(
@@ -53,6 +61,10 @@ def mvdr_init(n_bins: int, channels: int) -> MvdrState:
         ),
         cov_im=jnp.zeros((n_bins, channels, channels), jnp.float32),
         count=jnp.zeros((), jnp.int32),
+        powers=(
+            None if n_directions is None
+            else jnp.zeros((n_directions,), jnp.float32)
+        ),
     )
 
 
@@ -145,7 +157,7 @@ def _stft_snapshots(block, dft_t, frame_size, hop, mask):
 
 
 def _make_mvdr_impl(frame_size, hop, mask, ema_alpha, diagonal_loading,
-                    axis_name=None):
+                    axis_name=None, weight_refresh: int = 1):
     """Core per-block update over a (possibly sharded) bin subset.
 
     ``v_local`` [2, F_loc, D, C] steering planes, ``dft_local``
@@ -155,6 +167,17 @@ def _make_mvdr_impl(frame_size, hop, mask, ema_alpha, diagonal_loading,
     own bins' Cholesky systems, and the Capon powers psum across shards —
     bins are embarrassingly parallel, so this scales the heaviest MVDR cost
     (F Cholesky factorizations) linearly.
+
+    ``weight_refresh`` > 1 decimates the SOLVE stage (Cholesky + the
+    D-direction triangular solve — the dominant per-block cost, ~96 % at
+    C=256): the covariance EMA still folds in every block, but the Capon
+    spectrum is recomputed only every k-th block and carried in
+    ``state.powers`` in between — exactly the display-rate decimation the
+    fused step applies to the DAS heatmap (``MimoConfig.heatmap_every``).
+    The EMA moves O(alpha) per block by construction, so a spectrum a few
+    blocks stale is within EMA noise (bounded by
+    ``tests/test_mvdr.py::test_weight_refresh_staleness_bound``); refresh
+    blocks are bit-identical to the undecimated path.
     """
 
     def impl(state: MvdrState, block, v_local, dft_local, binw_local):
@@ -174,34 +197,53 @@ def _make_mvdr_impl(frame_size, hop, mask, ema_alpha, diagonal_loading,
         cov_re = (1.0 - alpha) * state.cov_re + alpha * r_re
         cov_im = (1.0 - alpha) * state.cov_im + alpha * r_im
 
-        # Diagonal loading scaled to the average channel power per bin.
-        tr = jnp.trace(cov_re, axis1=-2, axis2=-1)[:, None]      # [F, 1]
-        load = (diagonal_loading * tr / c + 1e-12).astype(jnp.float32)
-        eye = jnp.eye(c, dtype=cov_re.dtype)
-        r_loaded = cov_re + load[..., None] * eye
+        def solve(_):
+            # Diagonal loading scaled to the average channel power per bin.
+            tr = jnp.trace(cov_re, axis1=-2, axis2=-1)[:, None]  # [F, 1]
+            load = (diagonal_loading * tr / c + 1e-12).astype(jnp.float32)
+            eye = jnp.eye(c, dtype=cov_re.dtype)
+            r_loaded = cov_re + load[..., None] * eye
 
-        # Capon spectrum via the real block embedding: P = 1 / (v^H R^-1 v)
-        # = 1 / || L^-1 v_emb ||^2 with M = L L^T.
-        #
-        # (Measured dead end, for the record: inverting L against the
-        # identity and running the direction stage as an einsum — matmul
-        # instead of a D-column triangular solve — is ~17% SLOWER on v5e
-        # at C=256: the per-block cost is dominated by the 512-dim
-        # factorization ops themselves, and the extra [2C, 2C] solve costs
-        # more than the MXU einsum saves.)
-        m = hermitian_embed(r_loaded, cov_im)                    # [F, 2C, 2C]
-        chol = jax.lax.linalg.cholesky(m)
-        v_emb = jnp.concatenate([v_local[0], v_local[1]], axis=-1)  # [F, D, 2C]
-        y = jax.lax.linalg.triangular_solve(
-            chol, jnp.transpose(v_emb, (0, 2, 1)), left_side=True, lower=True
-        )                                                        # [F, 2C, D]
-        denom = jnp.sum(y * y, axis=1)                           # [F, D]
-        per_bin = binw_local[:, None] / jnp.maximum(denom, 1e-20)
-        powers = jnp.sum(per_bin, axis=0)                        # [D]
-        if axis_name is not None:
-            powers = jax.lax.psum(powers, axis_name)
+            # Capon spectrum via the real block embedding:
+            # P = 1 / (v^H R^-1 v) = 1 / || L^-1 v_emb ||^2 with M = L L^T.
+            #
+            # (Measured dead end, for the record: inverting L against the
+            # identity and running the direction stage as an einsum — matmul
+            # instead of a D-column triangular solve — is ~17% SLOWER on
+            # v5e at C=256: the per-block cost is dominated by the 512-dim
+            # factorization ops themselves, and the extra [2C, 2C] solve
+            # costs more than the MXU einsum saves.)
+            m = hermitian_embed(r_loaded, cov_im)                # [F, 2C, 2C]
+            chol = jax.lax.linalg.cholesky(m)
+            v_emb = jnp.concatenate(
+                [v_local[0], v_local[1]], axis=-1
+            )                                                    # [F, D, 2C]
+            y = jax.lax.linalg.triangular_solve(
+                chol, jnp.transpose(v_emb, (0, 2, 1)),
+                left_side=True, lower=True,
+            )                                                    # [F, 2C, D]
+            denom = jnp.sum(y * y, axis=1)                       # [F, D]
+            per_bin = binw_local[:, None] / jnp.maximum(denom, 1e-20)
+            powers = jnp.sum(per_bin, axis=0)                    # [D]
+            if axis_name is not None:
+                powers = jax.lax.psum(powers, axis_name)
+            return powers
+
+        if weight_refresh <= 1:
+            powers = solve(None)
+            carried = None
+        else:
+            # The predicate is replicated under shard_map, so every shard
+            # takes the same branch and the in-branch psum stays uniform.
+            powers = jax.lax.cond(
+                jnp.mod(state.count, weight_refresh) == 0,
+                solve,
+                lambda _: state.powers,
+                None,
+            )
+            carried = powers
         new_state = MvdrState(cov_re=cov_re, cov_im=cov_im,
-                              count=state.count + 1)
+                              count=state.count + 1, powers=carried)
         return new_state, powers
 
     return impl
@@ -219,12 +261,18 @@ def make_mvdr_step(
     ema_alpha: float = 0.1,
     diagonal_loading: float = 1e-3,
     channel_mask=None,
+    weight_refresh: int = 1,
 ):
     """Build the jitted per-block MVDR update.
 
     Returns ``(step, n_bins)`` with ``step(state, block[C, T]) ->
     (state, powers[D])``.  Runs on the default device — TPU included
     (complex-free throughout).
+
+    ``weight_refresh`` k > 1 recomputes the Capon solve only every k-th
+    block (the EMA covariance still updates every block) — see
+    ``_make_mvdr_impl``.  State must then come from ``step.init()`` (it
+    carries the [D] spectrum between refreshes).
     """
     bins = select_bins(frame_size, array_cfg.sample_rate, f_low, f_high)
     freqs = np.fft.rfftfreq(frame_size, 1.0 / array_cfg.sample_rate)[bins]
@@ -235,7 +283,8 @@ def make_mvdr_step(
     )
 
     impl = _make_mvdr_impl(
-        frame_size, hop, mask, ema_alpha, diagonal_loading
+        frame_size, hop, mask, ema_alpha, diagonal_loading,
+        weight_refresh=int(weight_refresh),
     )
     binw = jnp.ones((len(bins),), jnp.float32)
 
@@ -248,6 +297,11 @@ def make_mvdr_step(
         return jitted(state, jnp.asarray(block, jnp.float32), v, dft_t, binw)
 
     step.scan = _attach_scan(impl, (v, dft_t, binw))
+    c = int(np.asarray(points).shape[1])
+    d = int(np.asarray(theta).size)
+    step.init = lambda: mvdr_init(
+        len(bins), c, d if weight_refresh > 1 else None
+    )
     return step, len(bins)
 
 
@@ -290,12 +344,15 @@ def make_sharded_mvdr_step(
     ema_alpha: float = 0.1,
     diagonal_loading: float = 1e-3,
     channel_mask=None,
+    weight_refresh: int = 1,
 ):
     """Bin-sharded MVDR (the "STFT bins across the pod" stretch config).
 
     Returns ``(step, state)``: bins pad up to the shard count (padding bins
     carry zero weight), the per-bin covariance EMA lives sharded on its
     shard, and only the [D] Capon powers cross the mesh (one psum).
+    ``weight_refresh`` decimates the solve stage exactly as in
+    :func:`make_mvdr_step` (the carried spectrum is replicated).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -311,17 +368,21 @@ def make_sharded_mvdr_step(
     dft_np = dft_tables(frame_size, bins_p)
     mask = None if channel_mask is None else jnp.asarray(channel_mask, jnp.float32)
 
+    weight_refresh = int(weight_refresh)
     impl = _make_mvdr_impl(
         frame_size, hop, mask, ema_alpha, diagonal_loading,
-        axis_name=axis_name,
+        axis_name=axis_name, weight_refresh=weight_refresh,
     )
     f_pad = len(bins_p)
     c = np.asarray(points).shape[1]
+    d = int(np.asarray(theta).size)
+    powers_spec = P() if weight_refresh > 1 else None
 
     state_spec = MvdrState(
         cov_re=P(axis_name, None, None),
         cov_im=P(axis_name, None, None),
         count=P(),
+        powers=powers_spec,
     )
     sharded = jax.shard_map(
         impl,
@@ -355,5 +416,11 @@ def make_sharded_mvdr_step(
         ),
         cov_im=jax.device_put(jnp.zeros((f_pad, c, c), jnp.float32), cov_shard),
         count=jnp.zeros((), jnp.int32),
+        powers=(
+            None if weight_refresh <= 1
+            else jax.device_put(
+                jnp.zeros((d,), jnp.float32), NamedSharding(mesh, P())
+            )
+        ),
     )
     return step, state

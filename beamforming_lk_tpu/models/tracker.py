@@ -397,10 +397,11 @@ def make_swarm_step_impl(
                 else channel_mask.reshape(1, -1).astype(jnp.float32)
             )
             xyz = jnp.concatenate([points * spm, mask_row], axis=0)
-            unf_dtype = unf.dtype
-            win_bp = ptk.fold_bandpass_window(
-                unf.astype(jnp.float32)
-            ).astype(unf_dtype)
+            # Bandpass once on the compact window, unfold straight into the
+            # s-major kernel layout (bandpass commutes with the unfold —
+            # bit-identical columns, ~span-x less work than folding the
+            # unfolded copy), THEN drop to the probe compute dtype.
+            win_bp = ptk.bandpass_smaj_window(pw, span_eff).astype(unf.dtype)
             interpret = jax.default_backend() != "tpu"
 
         # --- Reference power: bandpass power of channel 0's raw block
@@ -457,7 +458,7 @@ def make_swarm_step_impl(
                         [tracking.astype(jnp.float32), pad_s]
                     ),
                     jnp.concatenate([start, pad_s]),
-                    tgt, jt_full, jp_full, block_index,
+                    tgt, jt_full, jp_full, block_index, reference,
                     n_iter=cfg.iterations, n_sub=cfg.tracker_steps,
                     refine=0, n_trackers=nt, span=span_eff,
                     theta_limit=cfg.theta_limit, divisor=float(t_len),
@@ -467,11 +468,13 @@ def make_swarm_step_impl(
                     probe_layout=cfg.probe_layout,
                     taps=taps, interp=dsp.interp,
                     fir_phases=dsp.fir_phases,
+                    min_power_fraction=cfg.min_power_fraction,
                 )
             )
             combo = Particles(th, ph, gt, gp, rad, err)
             trackers = jax.tree.map(lambda x: x[:nt], combo)
             seekers = jax.tree.map(lambda x: x[nt:], combo)
+            # trk_o is POST-prune (the publish boundary runs in-kernel).
             tracking = trk_o[:nt] > 0.5
             start = start_o[:nt]
 
@@ -552,20 +555,21 @@ def make_swarm_step_impl(
                 None,
                 length=cfg.iterations,
             )
-
-        # Publish: prune weak/diverged trackers (gradient_ascend.cpp:398-408),
-        # plus the sidelobe gate (see TrackerConfig.min_power_fraction).
-        weak = (
-            (trackers.radius < mean)
-            | (trackers.radius < reference)
-            | (trackers.error > cfg.error_threshold)
-        )
-        tracking = tracking & ~weak
-        if cfg.min_power_fraction > 0.0:
-            strongest = jnp.max(jnp.where(tracking, trackers.radius, 0.0))
-            tracking = tracking & (
-                trackers.radius >= cfg.min_power_fraction * strongest
+            # Publish: prune weak/diverged trackers
+            # (gradient_ascend.cpp:398-408), plus the sidelobe gate
+            # (TrackerConfig.min_power_fraction).  The Pallas path runs
+            # this same boundary IN-KERNEL (swarm_chain_pallas epilogue).
+            weak = (
+                (trackers.radius < mean)
+                | (trackers.radius < reference)
+                | (trackers.error > cfg.error_threshold)
             )
+            tracking = tracking & ~weak
+            if cfg.min_power_fraction > 0.0:
+                strongest = jnp.max(jnp.where(tracking, trackers.radius, 0.0))
+                tracking = tracking & (
+                    trackers.radius >= cfg.min_power_fraction * strongest
+                )
         targets = Targets(
             theta=trackers.theta,
             phi=trackers.phi,
@@ -741,10 +745,13 @@ def make_fused_step_impl(
                 else channel_mask.reshape(1, -1).astype(jnp.float32)
             )
             xyz = jnp.concatenate([points * spm, mask_row], axis=0)
-            # Fold the bandpass in f32, then drop to the probe compute
-            # dtype (matches the XLA chain's f32-accumulate-then-bandpass
-            # to bf16-rounding order as closely as possible).
-            win_bp = ptk.fold_bandpass_window(unf_f32).astype(unf.dtype)
+            # Bandpass once on the compact window, unfold straight into the
+            # s-major layout (bit-identical to folding the unfolded copy —
+            # the bandpass commutes — at ~span-x less elementwise work),
+            # in f32, then drop to the probe compute dtype.  The raw
+            # (unfiltered) twin feeds the in-kernel MISO audio beam.
+            win_bp = ptk.bandpass_smaj_window(pw, span_eff).astype(unf.dtype)
+            win_raw = ptk.smaj_window(pw, span_eff)
             interpret = jax.default_backend() != "tpu"
 
         # --- Seeker reset (gradient_ascend.cpp:295-299).
@@ -783,7 +790,7 @@ def make_fused_step_impl(
                     [state.target_valid.astype(jnp.float32), pad_sm]
                 ),
             ])
-            (th, ph, gt, gp, rad, err, trk_o, start_o, mean) = (
+            (th, ph, gt, gp, rad, err, trk_o, start_o, mean, beam_pad) = (
                 ptk.swarm_chain_pallas(
                     xyz, win_bp, comb.theta, comb.phi,
                     rates_tsm, spreads_tsm,
@@ -794,7 +801,8 @@ def make_fused_step_impl(
                         [tracking.astype(jnp.float32), pad_sm]
                     ),
                     jnp.concatenate([start, pad_sm]),
-                    tgt, jt_full, jp_full, block_index,
+                    tgt, jt_full, jp_full, block_index, reference,
+                    window_raw=win_raw,
                     n_iter=cfg.iterations, n_sub=cfg.tracker_steps,
                     refine=miso_refine_steps, n_trackers=nt,
                     span=span_eff, theta_limit=cfg.theta_limit,
@@ -805,14 +813,18 @@ def make_fused_step_impl(
                     probe_layout=cfg.probe_layout,
                     taps=taps, interp=dsp.interp,
                     fir_phases=dsp.fir_phases,
+                    min_power_fraction=cfg.min_power_fraction,
                 )
             )
             combo = Particles(th, ph, gt, gp, rad, err)
             trackers = jax.tree.map(lambda x: x[:nt], combo)
             seekers = jax.tree.map(lambda x: x[nt:nt + ns], combo)
             miso_p = jax.tree.map(lambda x: x[nt + ns:], combo)
+            # trk_o is POST-prune (publish boundary in-kernel); the audio
+            # beam came out of the same kernel call.
             tracking = trk_o[:nt] > 0.5
             start = start_o[:nt]
+            kernel_beam = beam_pad[:t_len]
 
         def xla_chain(trackers, seekers, miso_p, tracking, it_idx):
             # Sub-step chain: group composition is static per sub-step
@@ -907,19 +919,19 @@ def make_fused_step_impl(
                     jnp.arange(cfg.iterations),
                 )
             )
-
-        # Publish: prune weak/diverged trackers + sidelobe gate.
-        weak = (
-            (trackers.radius < mean)
-            | (trackers.radius < reference)
-            | (trackers.error > cfg.error_threshold)
-        )
-        tracking = tracking & ~weak
-        if cfg.min_power_fraction > 0.0:
-            strongest = jnp.max(jnp.where(tracking, trackers.radius, 0.0))
-            tracking = tracking & (
-                trackers.radius >= cfg.min_power_fraction * strongest
+            # Publish: prune weak/diverged trackers + sidelobe gate (the
+            # Pallas path runs this boundary in-kernel).
+            weak = (
+                (trackers.radius < mean)
+                | (trackers.radius < reference)
+                | (trackers.error > cfg.error_threshold)
             )
+            tracking = tracking & ~weak
+            if cfg.min_power_fraction > 0.0:
+                strongest = jnp.max(jnp.where(tracking, trackers.radius, 0.0))
+                tracking = tracking & (
+                    trackers.radius >= cfg.min_power_fraction * strongest
+                )
         targets = Targets(
             theta=trackers.theta,
             phi=trackers.phi,
@@ -943,14 +955,20 @@ def make_fused_step_impl(
         )
 
         # --- MISO audio beam at the refined direction (miso.cpp:41-55):
-        # float32, reusing the hoisted f32 unfold.
-        delays = ant.steering_delays(
-            points, miso_p.theta, miso_p.phi, spm, axis_name=axis_name
-        )  # [1, C]
-        w = dl.das_weights(delays, span_eff, dsp.interp, bank)
-        if channel_mask is not None:
-            w = w * channel_mask[..., :, None]
-        miso_beam = dl.das_beam_unfolded(unf_f32, w, axis_name=axis_name)[0]
+        # float32.  The Pallas path emitted it from the kernel epilogue;
+        # the XLA chain builds it from the hoisted f32 unfold.
+        if use_pallas_chain:
+            miso_beam = kernel_beam
+        else:
+            delays = ant.steering_delays(
+                points, miso_p.theta, miso_p.phi, spm, axis_name=axis_name
+            )  # [1, C]
+            w = dl.das_weights(delays, span_eff, dsp.interp, bank)
+            if channel_mask is not None:
+                w = w * channel_mask[..., :, None]
+            miso_beam = dl.das_beam_unfolded(
+                unf_f32, w, axis_name=axis_name
+            )[0]
         return new_state, targets, miso_p, miso_beam
 
     return step

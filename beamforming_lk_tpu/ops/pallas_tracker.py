@@ -83,6 +83,10 @@ def fold_bandpass_window(unfolded):
     Row ``k = s*C + c`` holds channel c's window at tap offset s — the
     layout ``pltpu.repeat`` produces when tiling per-channel values
     ``span`` times along the contraction axis.
+
+    Prefer :func:`bandpass_smaj_window` when starting from the compact
+    [C, W] probe window — same columns, ~span-x less bandpass work and no
+    [C, span, T] transpose.
     """
     c, span, t = unfolded.shape
     u = jnp.swapaxes(unfolded, 0, 1).reshape(span * c, t)
@@ -91,6 +95,89 @@ def fold_bandpass_window(unfolded):
     if pad:
         bp = jnp.pad(bp, ((0, 0), (0, pad)))
     return bp
+
+
+def bandpass_smaj_window(pw, span: int):
+    """Compact [C, W] probe window -> s-major [span*C, Tp] bandpass-folded
+    window, bit-identical to ``fold_bandpass_window(unfold_window(pw, span,
+    W - span))`` but cheaper: the 3-tap bandpass commutes with the sliding
+    unfold, so it runs ONCE on the [C, W] window (span-x less elementwise
+    work) and the unfold is span static slices concatenated straight into
+    the s-major row order — no [C, span, T] intermediate, no transpose.
+    """
+    c, wlen = pw.shape
+    t = wlen - span
+    bp = 0.5 * pw[:, 1:-1] - 0.25 * (pw[:, 2:] + pw[:, :-2])   # [C, W-2]
+    rows = jnp.concatenate(
+        [bp[:, s:s + t - 2] for s in range(span)], axis=0
+    )                                                          # [span*C, T-2]
+    pad = (-(t - 2)) % 128
+    if pad:
+        rows = jnp.pad(rows, ((0, 0), (0, pad)))
+    return rows
+
+
+def smaj_window(pw, span: int):
+    """Compact [C, W] probe window -> s-major [span*C, Tp] RAW (unfiltered)
+    rows — the audio-beam twin of :func:`bandpass_smaj_window` (row
+    ``k = s*C + c`` col ``j`` = ``pw[c, s + j]``, ``j < W - span``,
+    zero-padded to a lane multiple)."""
+    c, wlen = pw.shape
+    t = wlen - span
+    rows = jnp.concatenate([pw[:, s:s + t] for s in range(span)], axis=0)
+    pad = (-t) % 128
+    if pad:
+        rows = jnp.pad(rows, ((0, 0), (0, pad)))
+    return rows
+
+
+def _stencil_rows(shift, frac, mask_e, s_k, span, taps, interp, fir_phases):
+    """[R, C] integer shift + fractional part -> [R, span*C] stencil rows
+    on the s-major contraction layout (``ops.delay.das_weights`` math:
+    linear-interp ``[frac, 1-frac]`` at ``shift`` — the reference's
+    backwards-interp quirk, delay.cpp:24 — or the ``taps``-tap polyphase
+    windowed-sinc bank row recomputed in-kernel from the quantized
+    fraction).
+
+    FIR path cost note: ``sin(pi(t - d)) = (-1)^(t+1) sin(pi d)`` for
+    integer taps t, so ALL taps' sinc numerators share ONE transcendental
+    per (row, channel) — 8x fewer sin evaluations than the naive per-tap
+    form (the r04 FIR-variant cost lever)."""
+    shift_e = pltpu.repeat(shift, span, axis=1)                # [R, span*C]
+    if interp == "linear":
+        frac_e = pltpu.repeat(frac, span, axis=1)
+        return (
+            jnp.where(s_k == shift_e, frac_e, 0.0)
+            + jnp.where(s_k == shift_e + 1, 1.0 - frac_e, 0.0)
+        ) * mask_e
+    # Closed-form windowed-sinc bank row (ops.delay.fractional_delay_fir_bank
+    # generator, delay.py:74-94): quantize the fraction to the bank's phase
+    # grid, evaluate sinc(t - d) * blackman(t) per tap, DC-normalize.
+    fq = jnp.round(frac * (fir_phases - 1)) / float(fir_phases - 1)
+    d = float(dl.FIR_DEFAULT_CENTER) - fq                      # [R, C]
+    bw = np.blackman(taps)
+    sin_pd = jnp.sin(np.pi * d)                                # shared sin
+    hs = []
+    for t in range(taps):
+        x = np.pi * (float(t) - d)
+        sign = 1.0 if t % 2 == 1 else -1.0
+        near = jnp.abs(x) < 1e-4
+        # sinc via the shared sin with the |x|->0 series (x==0 at the
+        # center tap when the fraction quantizes to 0 or 1).
+        s = jnp.where(
+            near,
+            1.0 - x * x * (1.0 / 6.0),
+            sign * sin_pd / jnp.where(near, 1.0, x),
+        )
+        hs.append(s * float(bw[t]))
+    hsum = hs[0]
+    for h in hs[1:]:
+        hsum = hsum + h
+    w = jnp.zeros_like(shift_e, dtype=jnp.float32)
+    for t in range(taps):
+        h_e = pltpu.repeat(hs[t] / hsum, span, axis=1)
+        w = w + jnp.where(s_k == shift_e + t, h_e, 0.0)
+    return w * mask_e
 
 
 def _make_substep(
@@ -168,39 +255,9 @@ def _make_substep(
         whole = jnp.floor(tau)
         frac = tau - whole
         shift = (span - taps) - whole.astype(jnp.int32)    # [4P, C]
-        shift_e = pltpu.repeat(shift, span, axis=1)        # [4P, span*C]
-        if interp == "linear":
-            frac_e = pltpu.repeat(frac, span, axis=1)
-            w = (
-                jnp.where(s_k == shift_e, frac_e, 0.0)
-                + jnp.where(s_k == shift_e + 1, 1.0 - frac_e, 0.0)
-            ) * mask_e
-        else:
-            # Closed-form windowed-sinc bank row (see docstring): quantize
-            # the fraction to the bank's phase grid, then evaluate
-            # sinc(j - d) * blackman(j) per tap and DC-normalize.
-            fq = jnp.round(frac * (fir_phases - 1)) / float(fir_phases - 1)
-            d = float(dl.FIR_DEFAULT_CENTER) - fq          # [4P, C]
-            bw = np.blackman(taps)
-            hs = []
-            for t in range(taps):
-                x = np.pi * (float(t) - d)
-                # sinc via sin(x)/x with the |x|->0 series (x==0 at the
-                # center tap when the fraction quantizes to 0 or 1).
-                s = jnp.where(
-                    jnp.abs(x) < 1e-4,
-                    1.0 - x * x * (1.0 / 6.0),
-                    jnp.sin(x) / jnp.where(jnp.abs(x) < 1e-4, 1.0, x),
-                )
-                hs.append(s * float(bw[t]))
-            hsum = hs[0]
-            for h in hs[1:]:
-                hsum = hsum + h
-            w = jnp.zeros_like(shift_e, dtype=jnp.float32)
-            for t in range(taps):
-                h_e = pltpu.repeat(hs[t] / hsum, span, axis=1)
-                w = w + jnp.where(s_k == shift_e + t, h_e, 0.0)
-            w = w * mask_e
+        w = _stencil_rows(
+            shift, frac, mask_e, s_k, span, taps, interp, fir_phases
+        )                                                  # [4P, span*C]
         beam = jax.lax.dot_general(
             w.astype(win.dtype), win,
             (((1,), (0,)), ((), ())),
@@ -391,10 +448,11 @@ def _swarm_kernel(
     jt_ref,       # [I, P, 1] f32 per-iteration seeker jump theta offsets
     jp_ref,       # [I, P, 1] f32 per-iteration seeker jump phi offsets
     bi_ref,       # [1, 1]  f32 block index (tracker start stamp)
-    out_th, out_ph, out_gt, out_gp, out_rad, out_err,   # [P, 1] f32
-    out_trk, out_start,                                  # [P, 1] f32
-    out_mean,                                            # [1, 1] f32
-    *,
+    ref_ref,      # [1, 1]  f32 reference power (channel-0 bandpass power —
+                  #         the prune floor, gradient_ascend.cpp:304-313)
+    *refs,        # optional raw window [span*C, Tp2] f32 (emit_beam), then
+                  # out refs: th, ph, gt, gp, rad, err, trk, start, mean
+                  # [, beam]
     n_iter: int,
     n_sub: int,
     refine: int,
@@ -409,6 +467,8 @@ def _swarm_kernel(
     probe_layout: str,
     interp: str = "linear",
     fir_phases: int = 101,
+    min_power_fraction: float = 0.0,
+    emit_beam: bool = False,
 ):
     """The WHOLE per-block swarm update as one kernel: ``n_iter`` iterations
     of [``n_sub`` chained monopulse sub-steps + merge + seeker jump +
@@ -432,7 +492,21 @@ def _swarm_kernel(
     Row layout: trackers (0..n_trackers-1) | seekers | optional miso row;
     padded rows carry zero family one-hots so they never step, merge, or
     promote.
+
+    Epilogue (r05): the publish boundary that used to run as XLA glue
+    after the kernel now runs in-kernel — prune weak/diverged trackers
+    against the seeker mean, the reference power and the sidelobe gate
+    (``min_power_fraction``; gradient_ascend.cpp:398-408), and with
+    ``emit_beam`` the MISO audio beam at the refined listener direction is
+    ONE extra f32 stencil + dot against the raw (unfiltered) window —
+    removing the per-block steering/weights/beam op chain outside.
     """
+    if emit_beam:
+        raw_ref, refs = refs[0], refs[1:]
+    (out_th, out_ph, out_gt, out_gp, out_rad, out_err,
+     out_trk, out_start, out_mean) = refs[:9]
+    if emit_beam:
+        out_beam = refs[9]
     p = th_ref.shape[0]
     substep = _make_substep(
         xyz_ref, win_ref, rate_ref, spread_ref,
@@ -564,6 +638,21 @@ def _swarm_kernel(
     theta, phi, gt, gp, rad, err, tracking, start, mean = jax.lax.fori_loop(
         0, n_iter, iteration, carry
     )
+
+    # --- publish boundary, in-kernel (was XLA glue): prune weak/diverged
+    # trackers (gradient_ascend.cpp:398-408) + the sidelobe gate
+    # (TrackerConfig.min_power_fraction).
+    ref_p = ref_ref[0:1, 0:1]
+    weak = (rad < mean) | (rad < ref_p) | (err > error_threshold)
+    tracking = jnp.where(weak, 0.0, tracking)
+    if min_power_fraction > 0.0:
+        strongest = jnp.max(
+            jnp.where(tracking > 0.5, rad, 0.0), axis=0, keepdims=True
+        )
+        tracking = jnp.where(
+            rad >= min_power_fraction * strongest, tracking, 0.0
+        )
+
     out_th[...] = theta
     out_ph[...] = phi
     out_gt[...] = gt
@@ -574,6 +663,39 @@ def _swarm_kernel(
     out_start[...] = start
     out_mean[...] = mean
 
+    if emit_beam:
+        # --- MISO audio beam at the refined listener direction
+        # (miso.cpp:41-55): center-direction steering (the rotated unit
+        # vector IS the steering direction — no inverse trig), one f32
+        # stencil row, one dot against the RAW s-major window.
+        px = xyz_ref[0:1, :]
+        py = xyz_ref[1:2, :]
+        pz = xyz_ref[2:3, :]
+        c = xyz_ref.shape[1]
+        s_k = jax.lax.broadcasted_iota(jnp.int32, (1, span * c), 1) // c
+        mask_e = pltpu.repeat(xyz_ref[3:4, :], span, axis=1)
+        th_m = pick(is_miso, theta)                          # [1, 1]
+        ph_m = pick(is_miso, phi)
+        st_m, ct_m = jnp.sin(th_m), jnp.cos(th_m)
+        sp_m, cp_m = jnp.sin(ph_m), jnp.cos(ph_m)
+        tau = (st_m * cp_m) * px + (-st_m * sp_m) * py + ct_m * pz  # [1, C]
+        tau = jnp.clip(
+            tau - jnp.min(tau, axis=1, keepdims=True), 0.0,
+            float(span - taps),
+        )
+        whole = jnp.floor(tau)
+        w = _stencil_rows(
+            (span - taps) - whole.astype(jnp.int32), tau - whole,
+            mask_e, s_k, span, taps, interp, fir_phases,
+        )                                                    # [1, span*C]
+        beam = jax.lax.dot_general(
+            w, raw_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,             # audio stays f32
+        )                                                    # [1, Tp2]
+        out_beam[...] = jnp.broadcast_to(beam, out_beam.shape)
+
 
 @functools.partial(
     jax.jit,
@@ -581,11 +703,12 @@ def _swarm_kernel(
         "n_iter", "n_sub", "refine", "n_trackers", "span", "taps",
         "theta_limit", "divisor", "closeness", "error_threshold",
         "interpret", "probe_layout", "interp", "fir_phases",
+        "min_power_fraction",
     ),
 )
 def swarm_chain_pallas(
     xyz,            # [4, C] from pack_geometry
-    window_bp,      # [span*C, Tp] from fold_bandpass_window (compute dtype)
+    window_bp,      # [span*C, Tp] from bandpass_smaj_window (compute dtype)
     theta, phi,     # [P] f32 — rows: trackers | seekers | (miso)
     rates, spreads, # [P] f32
     state0,         # (grad_t, grad_p, radius, error) [P] each
@@ -596,6 +719,8 @@ def swarm_chain_pallas(
     jump_theta,     # [n_iter, P] f32 seeker jump offsets
     jump_phi,       # [n_iter, P] f32
     block_index,    # [] f32/int
+    reference,      # [] f32 reference power (the prune floor)
+    window_raw=None,  # [span*C, Tp2] f32 raw window -> in-kernel MISO beam
     *,
     n_iter: int,
     n_sub: int,
@@ -611,14 +736,19 @@ def swarm_chain_pallas(
     probe_layout: str = "quadrant",
     interp: str = "linear",
     fir_phases: int = 101,
+    min_power_fraction: float = 0.0,
 ):
     """Run the whole per-block swarm update (all ``n_iter`` iterations with
-    their merge/jump/promote boundaries) in ONE ``pallas_call``.
+    their merge/jump/promote boundaries) AND the publish boundary (prune +
+    sidelobe gate) in ONE ``pallas_call``.
 
     Returns ``(theta, phi, grad_theta, grad_phi, radius, error, tracking,
     start, mean)`` — the post-update combined particle rows plus the
-    tracker bookkeeping and the mean valid-seeker power, matching the XLA
-    iteration scan of ``models/tracker.py`` slot for slot.
+    POST-PRUNE tracker flags and the mean valid-seeker power, matching the
+    XLA iteration scan + publish of ``models/tracker.py`` slot for slot.
+    With ``window_raw`` the MISO audio beam at the refined listener row's
+    final direction is appended: ``(..., mean, beam[Tp2])`` (f32; slice the
+    first T columns).
     """
     p = theta.shape[0]
     pad = (-p) % 32
@@ -641,6 +771,8 @@ def swarm_chain_pallas(
         ((0, 0), (0, pad), (0, 0)),
     )
     bi = jnp.asarray(block_index, jnp.float32).reshape(1, 1)
+    ref = jnp.asarray(reference, jnp.float32).reshape(1, 1)
+    emit_beam = window_raw is not None
     precision = (
         jax.lax.Precision.HIGHEST
         if window_bp.dtype == jnp.float32
@@ -662,17 +794,26 @@ def swarm_chain_pallas(
         probe_layout=probe_layout,
         interp=interp,
         fir_phases=fir_phases,
+        min_power_fraction=float(min_power_fraction),
+        emit_beam=emit_beam,
     )
     out_sds = [jax.ShapeDtypeStruct((pp_, 1), jnp.float32)] * 8 + [
         jax.ShapeDtypeStruct((1, 1), jnp.float32)
     ]
+    extra_in = ()
+    if emit_beam:
+        out_sds.append(
+            jax.ShapeDtypeStruct((8, window_raw.shape[1]), jnp.float32)
+        )
+        extra_in = (window_raw,)
     k = window_bp.shape[0]
     tp = window_bp.shape[1]
     total_sub = n_iter * n_sub
     outs = pl.pallas_call(
         kern,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        * (14 + len(extra_in)),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_sds),
         out_shape=out_sds,
         cost_estimate=pl.CostEstimate(
             flops=total_sub * (2 * 4 * pp_ * k * tp + 80 * pp_ * k),
@@ -690,6 +831,9 @@ def swarm_chain_pallas(
         xyz, window_bp, col(theta), col(phi), st0,
         col(rates), col(spreads),
         stack3(family), stack3([tracking, start]),
-        stack3(targets), jt, jp, bi,
+        stack3(targets), jt, jp, bi, ref, *extra_in,
     )
-    return tuple(o[:p, 0] for o in outs[:8]) + (outs[8][0, 0],)
+    core = tuple(o[:p, 0] for o in outs[:8]) + (outs[8][0, 0],)
+    if emit_beam:
+        return core + (outs[9][0],)
+    return core

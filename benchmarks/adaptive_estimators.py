@@ -118,16 +118,26 @@ def main():
             jnp.asarray(rng.standard_normal((8, c, BLOCK)), jnp.float32)
         )
 
-        mvdr_impl = mv._make_mvdr_impl(FRAME, HOP, None, 0.1, 1e-3)
         binw = jnp.ones((n_bins,), jnp.float32)
-        mvdr_scan = mv._attach_scan(mvdr_impl, (v, dft_t, binw))
-        rate = timed_rate(mvdr_scan, mv.mvdr_init(n_bins, c), blocks)
-        print(
-            f"mvdr: {rate:.1f} blocks/s realtime_x="
-            f"{rate * BLOCK / SAMPLE_RATE:.2f} "
-            f"(C={c} D={GRID * GRID} F={n_bins})"
-        )
-        sys.stdout.flush()
+        # refresh=1: the exact every-block solve; refresh=8: the decimated
+        # deployment profile (covariance EMA every block, Capon solve every
+        # 8th — the 256-mic Cholesky-wall breaker, models/mvdr.py).
+        for refresh in (1, 8):
+            mvdr_impl = mv._make_mvdr_impl(
+                FRAME, HOP, None, 0.1, 1e-3, weight_refresh=refresh
+            )
+            mvdr_scan = mv._attach_scan(mvdr_impl, (v, dft_t, binw))
+            state0 = mv.mvdr_init(
+                n_bins, c, GRID * GRID if refresh > 1 else None
+            )
+            rate = timed_rate(mvdr_scan, state0, blocks)
+            tag = "mvdr" if refresh == 1 else f"mvdr_r{refresh}"
+            print(
+                f"{tag}: {rate:.1f} blocks/s realtime_x="
+                f"{rate * BLOCK / SAMPLE_RATE:.2f} "
+                f"(C={c} D={GRID * GRID} F={n_bins})"
+            )
+            sys.stdout.flush()
 
         k = 3
         for solver in ("subspace", "eigh"):

@@ -15,6 +15,14 @@ fixed (strong scaling):
   mvdr_bins         bin-sharded MVDR (models/mvdr.py
                     make_sharded_mvdr_step), covariance EMA sharded over
                     STFT bins, one [D] psum per block
+  music_bins        bin-sharded MUSIC (models/music.py
+                    make_sharded_music_step, tracked-subspace solver),
+                    covariance EMA + signal basis sharded over bins, the
+                    [D] pseudo-spectrum + SNR normalizer psum'd
+  beam_time         time-sharded DAS beam (parallel/das.py
+                    make_time_sharded_beam): each device beamforms its
+                    contiguous time chunk after a ppermute left-halo
+                    exchange of the S-sample span — the SP/CP story
 
 Each device count runs in its own subprocess (the device count is fixed at
 JAX init).  Two measurements per program and device count:
@@ -183,6 +191,59 @@ def worker(n: int) -> None:
         "mvdr_bins",
         _rate(mvdr_many, lambda p: np.asarray(p), N_BLOCKS),
         flops_per_device(mv_step._jitted, mv_state, blk, *mv_step._operands),
+    )
+
+    # --- 4) bin-sharded MUSIC (tracked-subspace solver) -------------------
+    from beamforming_lk_tpu.models import music as mu
+
+    mu_step, mu_state = mu.make_sharded_music_step(
+        pts64, theta, phi, mesh_b, axis_name=pm.DIR_AXIS, n_sources=3
+    )
+
+    def music_many():
+        st = mu_state
+        p = None
+        for _ in range(N_BLOCKS):
+            st, p = mu_step(st, blk)
+        return p
+
+    emit(
+        "music_bins",
+        _rate(music_many, lambda p: np.asarray(p), N_BLOCKS),
+        flops_per_device(mu_step._jitted, mu_state, blk, *mu_step._operands),
+    )
+
+    # --- 5) time-sharded DAS beam (ppermute halo exchange) ----------------
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from beamforming_lk_tpu.ops import delay as dl
+    from beamforming_lk_tpu.parallel import das as pd
+
+    mesh_t = pm.make_mesh((1, n), axis_names=(pm.DIR_AXIS, pm.TIME_AXIS))
+    delays = ant.steering_delays_np(
+        pts64, *mm.make_mimo_grid(MimoConfig(rows=16, columns=16)),
+        cfg.array.samples_per_meter,
+    )
+    weights_t = jax.device_put(
+        jnp.asarray(dl.das_weights_np(delays, cfg.dsp.shift_range, "linear")),
+        NamedSharding(mesh_t, P(pm.DIR_AXIS, None, None)),
+    )
+    t_total = N_BLOCKS * cfg.dsp.block_size          # >= S per chunk at n=8
+    block_t = jax.device_put(
+        jnp.asarray(rng.standard_normal((64, t_total)), jnp.float32),
+        NamedSharding(mesh_t, P(None, pm.TIME_AXIS)),
+    )
+    tail_t = jnp.asarray(
+        rng.standard_normal((64, cfg.dsp.shift_range)), jnp.float32
+    )
+    beam_fn = pd.make_time_sharded_beam(mesh_t)
+    emit(
+        "beam_time",
+        _rate(
+            lambda: beam_fn(block_t, tail_t, weights_t),
+            lambda out: np.asarray(out[:1, :1]), N_BLOCKS,
+        ),
+        flops_per_device(beam_fn, block_t, tail_t, weights_t),
     )
 
 
