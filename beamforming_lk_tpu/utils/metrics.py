@@ -86,6 +86,7 @@ class BlockMetrics:
             / self.sample_rate,
             "latency_p50_ms": pct(0.50) * 1e3,
             "latency_p95_ms": pct(0.95) * 1e3,
+            "latency_p99_ms": pct(0.99) * 1e3,
             "latency_max_ms": (lat[-1] if lat else 0.0) * 1e3,
             "deadline_ms": self.deadline * 1e3,
             "deadline_misses": self.deadline_misses,

@@ -219,9 +219,11 @@ def soak(consumer: str, seconds: float, n_sensors: int = 64,
                 np.float32,
             ))
         # Deadline accounting is per dispatch group: `group` blocks of
-        # audio buy group * 5.24 ms of budget.
+        # audio buy group * 5.24 ms of budget.  The window covers a whole
+        # minutes-long soak so the percentiles are over every dispatch.
         metrics = BlockMetrics(
-            block_size=BLOCK * group, sample_rate=SAMPLE_RATE
+            block_size=BLOCK * group, sample_rate=SAMPLE_RATE,
+            window=1_000_000,
         )
         blocks = 0
         expected = int(seconds * SAMPLE_RATE) // BLOCK

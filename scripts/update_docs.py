@@ -109,10 +109,13 @@ def gen_fused_ladder(m: dict) -> str:
 
 ESTIMATOR_NAMES = [
     ("mvdr_64", "MVDR (Capon), 64-mic app aperture × 4225 dirs × 11 bins"),
+    ("mvdr_64_r8", "MVDR, 64-mic aperture — decimated solve (`--mvdr-refresh 8`)"),
     ("music_64",
      "**MUSIC (K=3), 64-mic aperture — tracked-subspace solver (default)**"),
     ("music_64_eigh", "MUSIC, 64-mic aperture — exact eigh per bin"),
     ("mvdr_256", "MVDR, 256-mic stretch cluster (512² Cholesky per bin)"),
+    ("mvdr_256_r8",
+     "**MVDR, 256-mic stretch — decimated solve (`--mvdr-refresh 8`)**"),
     ("music_256", "MUSIC, 256-mic stretch — tracked-subspace solver"),
     ("music_256_eigh", "MUSIC, 256-mic stretch — exact 512² eigh per bin"),
 ]
@@ -120,13 +123,17 @@ ESTIMATOR_NAMES = [
 
 def gen_estimators(m: dict) -> str:
     e = m["estimators"]
-    if any(e.get(k) is None for k, _ in ESTIMATOR_NAMES):
+    if all(e.get(k) is None for k, _ in ESTIMATOR_NAMES):
         return ("*(pending: run `benchmarks/adaptive_estimators.py` and "
                 "record the numbers in docs/measurements.json)*")
     rows = ["| estimator | blocks/s | × real-time |", "|---|---|---|"]
     for key, label in ESTIMATOR_NAMES:
+        if e.get(key) is None:
+            continue
+        bold = label.startswith("**")
+        b = "**" if bold else ""
         rows.append(
-            f"| {label} | {fmt(e[key], 0)} | {fmt(rt(e[key]), 2)} |"
+            f"| {label} | {b}{fmt(e[key], 0)}{b} | {b}{fmt(rt(e[key]), 2)}{b} |"
         )
     rows.append("")
     rows.append(
@@ -138,11 +145,77 @@ def gen_estimators(m: dict) -> str:
         "warm-started orthogonal iteration instead of a full per-bin "
         "eigh (models/music.py; spectrum parity pinned by "
         "tests/test_music.py).  The 256-mic stretch rows show the cost "
-        "wall of 512-dimensional per-bin linear algebra — the "
-        "bin-sharded MVDR (`make_sharded_mvdr_step`) splits exactly "
-        "that axis across a mesh."
+        "wall of 512-dimensional per-bin linear algebra; the decimated "
+        "rows break it by recomputing the Capon solve only every 8th "
+        "block (the covariance EMA still folds in every block — exact "
+        "parity on refresh blocks, staleness bound tested, "
+        "models/mvdr.py), and the bin-sharded MVDR "
+        "(`make_sharded_mvdr_step`) splits the same axis across a mesh."
     )
     return "\n".join(rows)
+
+
+def gen_config3(m: dict) -> str:
+    c = m.get("config3") or {}
+    if c.get("blocks_per_s") is None:
+        return ("*(pending: run `benchmarks/config3.py` and record the "
+                "numbers in docs/measurements.json)*")
+    return (
+        f"BASELINE config 3 — 256 mics beamforming + gradient tracker + "
+        f"triangulation (two 128-mic coherent clusters, each running the "
+        f"full fused deployment step — 65×65 fft bf16 heatmap at "
+        f"`heatmap_every=3` + whole-swarm Pallas tracker + MISO — with the "
+        f"host-side two-array triangulation pass inside the measured "
+        f"time, driven through `ControlUnit.process_batch`): "
+        f"**{fmt(c['blocks_per_s'], 0)} blocks/s = "
+        f"{fmt(rt(c['blocks_per_s']), 1)}× real time** amortized "
+        f"({fmt(c['single_call_blocks_per_s'], 0)} blocks/s = "
+        f"{fmt(rt(c['single_call_blocks_per_s']), 1)}× single-call with "
+        f"the fixed per-call tunnel sync included).  Measured by "
+        f"`benchmarks/config3.py`."
+    )
+
+
+def gen_soak(m: dict) -> str:
+    s = m.get("soak") or {}
+    lines = [
+        f"- pure ingest ({s.get('seconds', 10)} s at the exact FPGA wire "
+        f"load): {fmt(s['packets'], 0)} / {fmt(s['packets'], 0)} packets "
+        f"received, **{s['drops']} ring drops, {s['counter_gaps']} "
+        f"header-counter gaps**, per-block consumer latency p95 = "
+        f"{s['ingest_p95_us']} µs — the recvmmsg packet path holds "
+        f"{fmt(s['packets_per_s'], 0)} pkt/s with two orders of headroom."
+    ]
+    for key, label in (("cpu", "CPU consumer (fused step per block)"),
+                       ("tpu", "TPU consumer (deployment fused step)")):
+        c = s.get(key)
+        if not c:
+            continue
+        lines.append(
+            f"- {label}: {c['seconds']} s closed loop, dispatch group "
+            f"{c['group']} block(s) (deadline {fmt(c['deadline_ms'], 1)} ms"
+            f"/dispatch), block latency p50 {fmt(c['p50_ms'], 1)} / p95 "
+            f"{fmt(c['p95_ms'], 1)} / p99 {fmt(c['p99_ms'], 1)} ms — "
+            f"**{c['deadline_misses']} deadline misses / "
+            f"{fmt(c['dispatches'], 0)} dispatches**, {c['ring_drops']} "
+            f"ring drops, {c['seq_skips']} sequence skips."
+        )
+    sweep = s.get("tpu_chunk_sweep")
+    if sweep:
+        lines.append("")
+        lines.append(
+            "TPU chunk-size trade (blocks per dispatch vs latency, same "
+            "wire load):")
+        lines.append("")
+        lines.append("| chunk | deadline/dispatch | p50 | p99 | misses |")
+        lines.append("|---|---|---|---|---|")
+        for row in sweep:
+            lines.append(
+                f"| {row['chunk']} | {fmt(row['deadline_ms'], 1)} ms | "
+                f"{fmt(row['p50_ms'], 1)} ms | {fmt(row['p99_ms'], 1)} ms | "
+                f"{row['deadline_misses']}/{row['dispatches']} |"
+            )
+    return "\n".join(lines)
 
 
 def gen_headline(m: dict) -> str:
@@ -174,6 +247,8 @@ GENERATORS = {
     "fused-ladder": gen_fused_ladder,
     "estimators": gen_estimators,
     "headline": gen_headline,
+    "config3": gen_config3,
+    "soak": gen_soak,
 }
 
 MARK = re.compile(
