@@ -91,11 +91,12 @@ def _empty_particles(n: int) -> Particles:
 
 
 def _random_directions(key, n: int, theta_limit: float):
-    """Uniform placement in the search domain (particle.cpp:11-14)."""
-    k1, k2 = jax.random.split(key)
-    theta = jax.random.uniform(k1, (n,), jnp.float32, 0.0, theta_limit)
-    phi = jax.random.uniform(k2, (n,), jnp.float32, 0.0, 2.0 * np.pi)
-    return theta, phi
+    """Uniform placement in the search domain (particle.cpp:11-14).
+
+    One batched draw (threefry invocations are the measured hot glue of
+    the deployment step — scripts/profile_glue.py)."""
+    u = jax.random.uniform(key, (2, n), jnp.float32)
+    return u[0] * theta_limit, u[1] * (2.0 * np.pi)
 
 
 def swarm_init(cfg: TrackerConfig, key) -> SwarmState:
@@ -296,20 +297,22 @@ def _merge_trackers(trackers: Particles, tracking, start, closeness: float):
 
 
 def _swarm_jumps(key, n_iter: int, n_seekers: int, jump: float):
-    """Pre-generate the seeker jump-offset sequence for the whole-swarm
-    Pallas kernel with the EXACT key schedule of the XLA iteration scan
-    (``key, k1, k2 = split(key, 3)`` per iteration) — the kernel has no
-    RNG, and matching the schedule keeps the two backends on the same
-    random trajectory.  Returns (final_key, jt[n_iter, Ns], jp[...])."""
+    """Pre-generate ALL iterations' seeker jump offsets as ONE batched
+    uniform draw.  Returns (next_key, jt[n_iter, Ns], jp[n_iter, Ns]).
 
-    def body(k, _):
-        k, k1, k2 = jax.random.split(k, 3)
-        jt = (jax.random.uniform(k1, (n_seekers,)) * 2.0 - 1.0) * jump
-        jp = (jax.random.uniform(k2, (n_seekers,)) * 2.0 - 1.0) * jump
-        return k, (jt, jp)
-
-    key, (jts, jps) = jax.lax.scan(body, key, None, length=n_iter)
-    return key, jts, jps
+    Both chain backends consume THIS schedule — the Pallas kernel takes
+    the arrays as operands, the XLA iteration scan indexes them per
+    iteration — so they follow the same random trajectory (pinned by
+    ``test_whole_swarm_kernel_matches_xla_iteration_scan``).  A per-
+    iteration ``split`` scan here was the measured hot glue of the
+    deployment step (~24 us/block of threefry on v5e,
+    scripts/profile_glue.py); one batched draw is ~free."""
+    key, k1 = jax.random.split(key)
+    u = (
+        jax.random.uniform(k1, (2, n_iter, n_seekers), jnp.float32) * 2.0
+        - 1.0
+    ) * jump
+    return key, u[0], u[1]
 
 
 def make_swarm_step_impl(
@@ -427,13 +430,16 @@ def make_swarm_step_impl(
         trackers, tracking, start = state.trackers, state.tracking, state.start
         mean = state.mean
 
+        # Pre-generate ALL iterations' seeker jump offsets (one batched
+        # draw; both chain backends consume this same schedule).
+        key, jts, jps = _swarm_jumps(
+            key, cfg.iterations, ns, cfg.theta_limit / 2.0
+        )
+
         if use_pallas_chain:
             # Whole swarm update — all iterations' sub-step chains and their
             # merge/jump/promote boundaries — in ONE pallas_call (see
             # make_fused_step_impl for the schedule notes).
-            key, jts, jps = _swarm_jumps(
-                key, cfg.iterations, ns, cfg.theta_limit / 2.0
-            )
             zt = jnp.zeros((cfg.iterations, nt), jnp.float32)
             jt_full = jnp.concatenate([zt, jts], axis=1)
             jp_full = jnp.concatenate([zt, jps], axis=1)
@@ -478,8 +484,9 @@ def make_swarm_step_impl(
             tracking = trk_o[:nt] > 0.5
             start = start_o[:nt]
 
-        def iteration(carry, _):
-            seekers, trackers, tracking, start, mean, key = carry
+        def iteration(carry, jump_i):
+            seekers, trackers, tracking, start, mean = carry
+            jt_i, jp_i = jump_i
 
             # Trackers: trackerSteps sub-steps at slowed rate
             # (gradient_ascend.cpp:323-330).
@@ -511,7 +518,7 @@ def make_swarm_step_impl(
 
             # Jump seekers that wander into a published target's capture zone
             # (gradient_ascend.cpp:360-371; jump size thetaLimit/2,
-            # gradient_ascend.cpp:89-92).
+            # gradient_ascend.cpp:89-92); offsets pre-generated per block.
             ang = spherical_angle(
                 seekers.theta[:, None],
                 seekers.phi[:, None],
@@ -519,11 +526,9 @@ def make_swarm_step_impl(
                 state.target_phi[None, :],
             )
             too_close = jnp.any((ang < cfg.tracker_closeness) & state.target_valid, axis=1)
-            key, k1, k2 = jax.random.split(key, 3)
-            jump = cfg.theta_limit / 2.0
-            j_theta = seekers.theta + (jax.random.uniform(k1, seekers.theta.shape) * 2 - 1) * jump
-            j_phi = seekers.phi + (jax.random.uniform(k2, seekers.phi.shape) * 2 - 1) * jump
-            j_theta, j_phi = normalize_spherical(j_theta, j_phi, cfg.theta_limit)
+            j_theta, j_phi = normalize_spherical(
+                seekers.theta + jt_i, seekers.phi + jp_i, cfg.theta_limit
+            )
             seekers = seekers._replace(
                 theta=jnp.where(too_close, j_theta, seekers.theta),
                 phi=jnp.where(too_close, j_phi, seekers.phi),
@@ -546,14 +551,13 @@ def make_swarm_step_impl(
 
             n_valid = jnp.maximum(jnp.sum(valid), 1)
             mean = jnp.sum(jnp.where(valid, seekers.radius, 0.0)) / n_valid
-            return (seekers, trackers, tracking, start, mean, key), None
+            return (seekers, trackers, tracking, start, mean), None
 
         if not use_pallas_chain:
-            (seekers, trackers, tracking, start, mean, key), _ = jax.lax.scan(
+            (seekers, trackers, tracking, start, mean), _ = jax.lax.scan(
                 iteration,
-                (seekers, trackers, tracking, start, mean, key),
-                None,
-                length=cfg.iterations,
+                (seekers, trackers, tracking, start, mean),
+                (jts, jps),
             )
             # Publish: prune weak/diverged trackers
             # (gradient_ascend.cpp:398-408), plus the sidelobe gate
@@ -764,19 +768,22 @@ def make_fused_step_impl(
         )
         tracking, start, mean = state.tracking, state.start, state.mean
 
+        # Pre-generate ALL iterations' seeker jump offsets as one batched
+        # draw — both chain backends consume this schedule (the in-loop
+        # per-iteration threefry splits were the measured hot glue of the
+        # deployment step, scripts/profile_glue.py).
+        key, jts, jps = _swarm_jumps(
+            key, cfg.iterations, ns, cfg.theta_limit / 2.0
+        )
+
         if use_pallas_chain:
             # The WHOLE swarm update — every iteration's sub-step chain AND
             # its merge/jump/promote boundary — as ONE pallas_call
             # (ops/pallas_tracker.py::swarm_chain_pallas): particle state
             # never leaves VMEM between iterations, and the per-iteration
-            # kernel-launch + XLA-glue overhead disappears.  The seeker
-            # jump randoms are pre-generated with the XLA path's exact key
-            # schedule, so both backends follow the same trajectory.
+            # kernel-launch + XLA-glue overhead disappears.
             from beamforming_lk_tpu.ops import pallas_tracker as ptk
 
-            key, jts, jps = _swarm_jumps(
-                key, cfg.iterations, ns, cfg.theta_limit / 2.0
-            )
             zt = jnp.zeros((cfg.iterations, nt), jnp.float32)
             zm = jnp.zeros((cfg.iterations, 1), jnp.float32)
             jt_full = jnp.concatenate([zt, jts, zm], axis=1)
@@ -860,8 +867,9 @@ def make_fused_step_impl(
                     )
             return trackers, seekers, miso_p
 
-        def iteration(carry, it_idx):
-            trackers, seekers, miso_p, tracking, start, mean, key = carry
+        def iteration(carry, xs):
+            it_idx, jt_i, jp_i = xs
+            trackers, seekers, miso_p, tracking, start, mean = carry
             trackers, seekers, miso_p = xla_chain(
                 trackers, seekers, miso_p, tracking, it_idx
             )
@@ -882,11 +890,9 @@ def make_fused_step_impl(
             too_close = jnp.any(
                 (ang < cfg.tracker_closeness) & state.target_valid, axis=1
             )
-            key, k1, k2 = jax.random.split(key, 3)
-            jump = cfg.theta_limit / 2.0
-            j_theta = seekers.theta + (jax.random.uniform(k1, seekers.theta.shape) * 2 - 1) * jump
-            j_phi = seekers.phi + (jax.random.uniform(k2, seekers.phi.shape) * 2 - 1) * jump
-            j_theta, j_phi = normalize_spherical(j_theta, j_phi, cfg.theta_limit)
+            j_theta, j_phi = normalize_spherical(
+                seekers.theta + jt_i, seekers.phi + jp_i, cfg.theta_limit
+            )
             seekers = seekers._replace(
                 theta=jnp.where(too_close, j_theta, seekers.theta),
                 phi=jnp.where(too_close, j_phi, seekers.phi),
@@ -908,15 +914,15 @@ def make_fused_step_impl(
 
             n_valid = jnp.maximum(jnp.sum(valid), 1)
             mean = jnp.sum(jnp.where(valid, seekers.radius, 0.0)) / n_valid
-            return (trackers, seekers, miso_p, tracking, start, mean, key), None
+            return (trackers, seekers, miso_p, tracking, start, mean), None
 
         if not use_pallas_chain:
-            (trackers, seekers, miso_p, tracking, start, mean, key), _ = (
+            (trackers, seekers, miso_p, tracking, start, mean), _ = (
                 jax.lax.scan(
                     iteration,
                     (state.trackers, seekers, miso_particle, tracking,
-                     start, mean, key),
-                    jnp.arange(cfg.iterations),
+                     start, mean),
+                    (jnp.arange(cfg.iterations), jts, jps),
                 )
             )
             # Publish: prune weak/diverged trackers + sidelobe gate (the
