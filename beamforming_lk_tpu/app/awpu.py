@@ -381,6 +381,129 @@ def make_awpu_step(
         )
         return new_state, outs
 
+    # Chunked streaming for the FUSED step (DspConfig.fused_chunk): K
+    # consecutive blocks' swarm updates in one pallas_call with the
+    # window folds / RNG / reference powers batched per chunk.  Available
+    # on a single device with the Pallas chain; with the heatmap on the
+    # chunk must be a multiple of heatmap_every (decimation phase stays
+    # chunk-aligned — valid while blocks are fed in whole chunks, which
+    # process_blocks enforces by only routing aligned batch sizes here).
+    fused_chunk = (
+        dsp.fused_chunk
+        if (
+            use_fused
+            and mesh is None
+            and cfg.tracker.probe_kernel == "pallas"
+            and dsp.fused_chunk > 1
+            and (
+                not enable_mimo
+                or dsp.fused_chunk % max(cfg.mimo.heatmap_every, 1) == 0
+            )
+        )
+        else 0
+    )
+    chunk_impl = None
+    if fused_chunk:
+        chunk_impl = tk.make_fused_chunk_impl(
+            cfg.tracker, dsp, arr, fir_bank, probe_span=span,
+            n_blocks=fused_chunk,
+        )
+
+    def _fused_chunk_scan(state, blocks, pts, mask, mimo_w):
+        """[M, C, T] blocks, M a multiple of ``fused_chunk``: tracker+MISO
+        via the K-block kernel, heatmap at the decimated positions batched
+        per chunk — per-block outputs identical to :func:`_scan`."""
+        ck = fused_chunk
+        every = max(cfg.mimo.heatmap_every, 1) if enable_mimo else 0
+        m = blocks.shape[0]
+        c_rows = blocks.shape[1]
+        hist_len = ck * t_len + dsp.shift_range + rg.LOOKAHEAD_GUARD
+        hist0 = jnp.zeros((c_rows, hist_len), blocks.dtype)
+        hist0 = rg.ring_push(
+            hist0,
+            state.history[..., -min(hist_len, state.history.shape[-1]):],
+        )
+        big = jnp.swapaxes(blocks, 0, 1).reshape(c_rows, m * t_len)
+
+        def body(carry, i):
+            hist, swarm, miso_part, prev_max, bi, powers_last = carry
+            hist = rg.ring_push(
+                hist,
+                jax.lax.dynamic_slice_in_dim(
+                    big, i * ck * t_len, ck * t_len, axis=1
+                ),
+            )
+            windows = rg.ring_windows(
+                hist, t_len, dsp.shift_range, taps, ck
+            )                                              # [ck, C, T+S]
+            swarm, targets_k, miso_part, beams = chunk_impl(
+                swarm, miso_part, windows, bi, pts, mask
+            )
+            if enable_mimo:
+                sel = windows[::every]                     # computed maps
+                if fft_model is not None:
+                    from beamforming_lk_tpu.ops import fft_das as fd
+
+                    maps = fd.fft_heatmap_powers_chunked(sel, fft_model)
+                else:
+                    w = mimo_w if mask is None else mimo_w * mask[:, None]
+                    if dsp.compute == "bfloat16":
+                        bms = jax.vmap(
+                            lambda win: dl.das_beam(
+                                win.astype(jnp.bfloat16),
+                                w.astype(jnp.bfloat16),
+                                precision=jax.lax.Precision.DEFAULT,
+                            )
+                        )(sel)
+                    else:
+                        bms = jax.vmap(lambda win: dl.das_beam(win, w))(sel)
+                    maps = dl.das_power(
+                        bms, use_bandpass=dsp.use_bandpass,
+                        divisor=bms.shape[-1] * n_active,
+                    )
+                emas = _ema_chain(
+                    jnp.max(maps, axis=-1), prev_max, ck // every
+                )
+                powers_k = jnp.repeat(maps, every, axis=0)   # carried maps
+                prev_out = jnp.repeat(emas, every)
+                prev_max = emas[-1]
+                powers_last = powers_k[-1]
+            else:
+                powers_k = jnp.zeros(
+                    (ck, state.powers.shape[0]), jnp.float32
+                )
+                prev_out = jnp.broadcast_to(prev_max, (ck,))
+            outs = AwpuOutputs(
+                powers=powers_k, targets=targets_k, miso_beam=beams,
+                prev_max=prev_out,
+            )
+            return (
+                hist, swarm, miso_part, prev_max, bi + ck, powers_last
+            ), outs
+
+        carry0 = (
+            hist0, state.swarm, state.miso.particle, state.prev_max,
+            state.block_index, state.powers,
+        )
+        (hist, swarm, miso_part, prev_max, bi, powers_last), outs = (
+            jax.lax.scan(body, carry0, jnp.arange(m // ck))
+        )
+        outs = jax.tree.map(
+            lambda x: x.reshape((m,) + x.shape[2:]), outs
+        )
+        new_state = AwpuState(
+            history=rg.ring_push(
+                state.history,
+                big[..., -min(state.history.shape[-1], m * t_len):],
+            ),
+            swarm=swarm,
+            miso=state.miso._replace(particle=miso_part),
+            prev_max=prev_max,
+            block_index=bi,
+            powers=powers_last,
+        )
+        return new_state, outs
+
     if mesh is None:
         pts_dev = jnp.asarray(points_np)
         mask_dev = None if mask_np is None else jnp.asarray(mask_np)
@@ -396,6 +519,9 @@ def make_awpu_step(
         jitted_chunk = (
             jax.jit(_chunk_scan) if heatmap_chunk and heatmap_chunk > 1 else None
         )
+        jitted_fused_chunk = (
+            jax.jit(_fused_chunk_scan) if fused_chunk else None
+        )
 
         def step(state, block):
             return jitted(state, block, pts_dev, mask_dev, w_dev)
@@ -403,6 +529,13 @@ def make_awpu_step(
         def scan_step(state, blocks):
             if jitted_chunk is not None and blocks.shape[0] % heatmap_chunk == 0:
                 return jitted_chunk(state, blocks, pts_dev, mask_dev, w_dev)
+            if (
+                jitted_fused_chunk is not None
+                and blocks.shape[0] % fused_chunk == 0
+            ):
+                return jitted_fused_chunk(
+                    state, blocks, pts_dev, mask_dev, w_dev
+                )
             return jitted_scan(state, blocks, pts_dev, mask_dev, w_dev)
 
         step.scan = scan_step

@@ -71,6 +71,16 @@ class DspConfig:
     # benchmarks/tracking_accuracy.py) while running the probe matmuls at
     # full MXU rate.  The MISO *audio* beam stays float32 either way.
     probe_compute: str = "float32"
+    # Chunked streaming for the FUSED step (heatmap + tracker + MISO):
+    # AwpuPipeline.process_blocks runs this many consecutive blocks' whole
+    # swarm updates as ONE pallas_call (swarm_chunk_pallas) with the
+    # window folds / RNG / reference powers batched per chunk — the
+    # throughput/replay shape (per-block outputs identical to streaming,
+    # pinned by test_fused_chunk_matches_per_block).  Requires the Pallas
+    # chain configuration on a single device; with the heatmap on, must be
+    # a multiple of MimoConfig.heatmap_every (the decimation phase stays
+    # chunk-aligned).  <= 1 disables.
+    fused_chunk: int = 0
 
     @property
     def block_seconds(self) -> float:

@@ -980,6 +980,197 @@ def make_fused_step_impl(
     return step
 
 
+def make_fused_chunk_impl(
+    cfg: TrackerConfig,
+    dsp: DspConfig,
+    array_cfg: ArrayConfig,
+    fir_bank=None,
+    probe_span=None,
+    miso_refine_steps: int = 3,
+    n_blocks: int = 12,
+):
+    """K consecutive blocks of the fused swarm+MISO update as ONE
+    ``pallas_call`` (``ops.pallas_tracker.swarm_chunk_pallas``) — the
+    chunked-streaming throughput shape.
+
+    The per-block fused step's non-kernel glue (window fold, RNG, reference
+    power, output packing) batches across the chunk as single ops, and the
+    K kernel launches collapse to one; per-block randoms are generated with
+    the EXACT key schedule of K sequential :func:`make_fused_step_impl`
+    steps, so chunked and per-block processing follow the same trajectory
+    (pinned by ``test_fused_chunk_matches_per_block``).
+
+    Returns ``chunk_step(state, miso_particle, windows[K, C, T+S],
+    block_index0, points, channel_mask) -> (state, Targets[K, ...],
+    miso_particle, beams[K, T])`` — outputs stacked per block.  Requires
+    the Pallas chain configuration (linear/FIR interp, either probe
+    layout, unsharded channels).
+    """
+    if dsp.interp == "fir" and fir_bank is None:
+        fir_bank = dl.fractional_delay_fir_bank(dsp.fir_phases, dsp.fir_taps)
+    taps = dl.LINEAR_TAPS if dsp.interp == "linear" else dsp.fir_taps
+    spm = array_cfg.samples_per_meter
+    span_eff = (
+        dsp.shift_range
+        if probe_span is None
+        else min(probe_span, dsp.shift_range)
+    )
+    nt, ns = cfg.n_trackers, cfg.n_seekers
+    tracker_rate = cfg.tracker_step_gain * cfg.tracker_spread
+    seeker_rate = cfg.seeker_step_gain * cfg.seeker_spread
+    miso_rate = tracker_rate / 3.0                       # miso.cpp:39-40
+    rates_tsm = jnp.asarray(
+        [tracker_rate] * nt + [seeker_rate] * ns + [miso_rate], jnp.float32
+    )
+    spreads_tsm = jnp.asarray(
+        [cfg.tracker_spread] * nt
+        + [cfg.seeker_spread] * ns
+        + [cfg.tracker_spread],
+        jnp.float32,
+    )
+    fam_np = np.zeros((3, nt + ns + 1), np.float32)
+    fam_np[0, :nt] = 1.0
+    fam_np[1, nt:nt + ns] = 1.0
+    fam_np[2, nt + ns:] = 1.0
+    fam = jnp.asarray(fam_np)
+    t_len = dsp.block_size
+    kb = int(n_blocks)
+    jump = cfg.theta_limit / 2.0
+
+    from beamforming_lk_tpu.ops import pallas_tracker as ptk
+
+    def chunk_step(
+        state: SwarmState, miso_particle: Particles, windows, block_index0,
+        points, channel_mask,
+    ):
+        # --- Per-block reference powers (gradient_ascend.cpp:304-313),
+        # batched: channel 0 of every window in one op.
+        b0 = dsp.shift_range - taps
+        raw0 = jax.lax.dynamic_slice_in_dim(
+            windows[:, 0, :], b0, t_len, axis=1
+        )                                                  # [K, T]
+        references = dl.das_power(
+            raw0, use_bandpass=True, divisor=t_len - 2
+        )                                                  # [K]
+
+        # --- Batched window folds (one op each instead of K).
+        pw = (
+            windows
+            if span_eff >= dsp.shift_range
+            else windows[..., dsp.shift_range - span_eff:]
+        )
+        win_bp = jax.vmap(
+            lambda w: ptk.bandpass_smaj_window(w, span_eff)
+        )(pw)
+        if dsp.probe_compute == "bfloat16":
+            win_bp = win_bp.astype(jnp.bfloat16)
+        win_raw = jax.vmap(lambda w: ptk.smaj_window(w, span_eff))(pw)
+
+        mask_row = (
+            jnp.ones((1, points.shape[1]), jnp.float32)
+            if channel_mask is None
+            else channel_mask.reshape(1, -1).astype(jnp.float32)
+        )
+        xyz = jnp.concatenate([points * spm, mask_row], axis=0)
+        interpret = jax.default_backend() != "tpu"
+
+        # --- Per-block randoms with the EXACT per-block key schedule
+        # (make_fused_step_impl: split for the reset dirs, then
+        # _swarm_jumps' split + one batched uniform).
+        def keygen(k, _):
+            k, sub = jax.random.split(k)
+            rth, rph = _random_directions(sub, ns, cfg.theta_limit)
+            k, jts_k, jps_k = _swarm_jumps(k, cfg.iterations, ns, jump)
+            return k, (rth, rph, jts_k, jps_k)
+
+        key, (rths, rphs, jts, jps) = jax.lax.scan(
+            keygen, state.key, None, length=kb
+        )
+        reset_flags = (
+            jnp.mod(state.reset_count + jnp.arange(kb),
+                    cfg.seeker_reset_interval) == 0
+        ).astype(jnp.float32)
+        zt_r = jnp.zeros((kb, nt), jnp.float32)
+        zm_r = jnp.zeros((kb, 1), jnp.float32)
+        reset_th = jnp.concatenate([zt_r, rths, zm_r], axis=1)   # [K, P]
+        reset_ph = jnp.concatenate([zt_r, rphs, zm_r], axis=1)
+        zt_j = jnp.zeros((kb, cfg.iterations, nt), jnp.float32)
+        zm_j = jnp.zeros((kb, cfg.iterations, 1), jnp.float32)
+        jt_full = jnp.concatenate([zt_j, jts, zm_j], axis=2)     # [K, I, P]
+        jp_full = jnp.concatenate([zt_j, jps, zm_j], axis=2)
+
+        pad_sm = jnp.zeros((ns + 1,), jnp.float32)
+        comb = jax.tree.map(
+            lambda *leaves: jnp.concatenate(leaves),
+            state.trackers, state.seekers, miso_particle,
+        )
+        tgt = jnp.stack([
+            jnp.concatenate([state.target_theta, pad_sm]),
+            jnp.concatenate([state.target_phi, pad_sm]),
+            jnp.concatenate(
+                [state.target_valid.astype(jnp.float32), pad_sm]
+            ),
+        ])
+        (th, ph, gt, gp, rad, err, trk_o, start_o, mean, beams) = (
+            ptk.swarm_chunk_pallas(
+                xyz, win_bp, win_raw, comb.theta, comb.phi,
+                rates_tsm, spreads_tsm,
+                (comb.grad_theta, comb.grad_phi, comb.radius, comb.error),
+                fam,
+                jnp.concatenate(
+                    [state.tracking.astype(jnp.float32), pad_sm]
+                ),
+                jnp.concatenate([state.start, pad_sm]),
+                tgt, jt_full, jp_full,
+                reset_flags, reset_th, reset_ph,
+                block_index0, references,
+                n_blocks=kb, n_iter=cfg.iterations,
+                n_sub=cfg.tracker_steps, refine=miso_refine_steps,
+                n_trackers=nt, span=span_eff,
+                theta_limit=cfg.theta_limit, divisor=float(t_len),
+                closeness=cfg.tracker_closeness,
+                error_threshold=cfg.error_threshold,
+                interpret=interpret,
+                probe_layout=cfg.probe_layout,
+                taps=taps, interp=dsp.interp,
+                fir_phases=dsp.fir_phases,
+                min_power_fraction=cfg.min_power_fraction,
+            )
+        )
+        # Per-block published targets (post-prune, like the per-block path).
+        tracking_k = trk_o[:, :nt] > 0.5                    # [K, nt]
+        targets = Targets(
+            theta=th[:, :nt],
+            phi=ph[:, :nt],
+            power=rad[:, :nt],
+            probability=1.0 / jnp.maximum(err[:, :nt], 1e-30),
+            start=start_o[:, :nt],
+            valid=tracking_k,
+        )
+        last = jax.tree.map(
+            lambda x: x[-1], Particles(th, ph, gt, gp, rad, err)
+        )
+        trackers = jax.tree.map(lambda x: x[:nt], last)
+        seekers = jax.tree.map(lambda x: x[nt:nt + ns], last)
+        miso_p = jax.tree.map(lambda x: x[nt + ns:], last)
+        new_state = SwarmState(
+            seekers=seekers,
+            trackers=trackers,
+            tracking=tracking_k[-1],
+            start=start_o[-1, :nt],
+            jumped=state.jumped,
+            mean=mean[-1],
+            reset_count=state.reset_count + kb,
+            key=key,
+            target_theta=trackers.theta,
+            target_phi=trackers.phi,
+            target_valid=tracking_k[-1],
+        )
+        return new_state, targets, miso_p, beams[:, :t_len]
+
+    return chunk_step
+
+
 def make_swarm_step(
     points,
     cfg: TrackerConfig,

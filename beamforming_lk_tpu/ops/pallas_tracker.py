@@ -181,15 +181,17 @@ def _stencil_rows(shift, frac, mask_e, s_k, span, taps, interp, fir_phases):
 
 
 def _make_substep(
-    xyz_ref, win_ref, rate_ref, spread_ref, *,
+    xyz_ref, win, rate_ref, spread_ref, *,
     span, taps, theta_limit, inv_divisor, precision,
     probe_layout="quadrant", interp="linear", fir_phases=101,
 ):
     """Shared monopulse sub-step core: (active, carry6) -> carry6.
 
     One [4P, C*span] MXU dot per call; all the probe/steering/stencil math
-    on the VPU.  Closured over the geometry/window refs so both the masked
-    chain kernel and the whole-swarm kernel reuse it verbatim.
+    on the VPU.  Closured over the geometry ref and the window VALUE
+    (callers load it — ``win_ref[...]`` for the single-window kernels,
+    ``win_ref[k]`` for the chunked kernel's current block) so every kernel
+    reuses it verbatim.
 
     ``interp="fir"`` builds the ``taps``-tap polyphase stencil IN-KERNEL
     from the windowed-sinc closed form (the [phases, taps] bank of
@@ -204,7 +206,6 @@ def _make_substep(
     py = xyz_ref[1:2, :]
     pz = xyz_ref[2:3, :]
     mask = xyz_ref[3:4, :]
-    win = win_ref[...]
     k = span * c
     # Static per-column tap offset s = k // C in the s-major layout.
     s_k = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1) // c
@@ -316,7 +317,7 @@ def _chain_kernel(
     fir_phases: int = 101,
 ):
     substep = _make_substep(
-        xyz_ref, win_ref, rate_ref, spread_ref,
+        xyz_ref, win_ref[...], rate_ref, spread_ref,
         span=span, taps=taps, theta_limit=theta_limit,
         inv_divisor=inv_divisor, precision=precision,
         probe_layout=probe_layout, interp=interp, fir_phases=fir_phases,
@@ -507,152 +508,24 @@ def _swarm_kernel(
      out_trk, out_start, out_mean) = refs[:9]
     if emit_beam:
         out_beam = refs[9]
-    p = th_ref.shape[0]
-    substep = _make_substep(
-        xyz_ref, win_ref, rate_ref, spread_ref,
-        span=span, taps=taps, theta_limit=theta_limit,
-        inv_divisor=inv_divisor, precision=precision,
+    block_update, miso_beam = _make_swarm_block_update(
+        xyz_ref, rate_ref, spread_ref, fam_ref, jt_ref, jp_ref,
+        n_iter=n_iter, n_sub=n_sub, refine=refine, span=span, taps=taps,
+        theta_limit=theta_limit, inv_divisor=inv_divisor,
+        cos_closeness=cos_closeness, error_threshold=error_threshold,
+        n_trackers=n_trackers, precision=precision,
         probe_layout=probe_layout, interp=interp, fir_phases=fir_phases,
+        min_power_fraction=min_power_fraction,
     )
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    is_tracker = fam_ref[0] > 0.5
-    is_seeker = fam_ref[1] > 0.5
-    is_miso = fam_ref[2] > 0.5
-    tgt_th, tgt_ph, tgt_va = tgt_ref[0], tgt_ref[1], tgt_ref[2]
-    bi = bi_ref[0:1, 0:1]
-    nt_f = float(n_trackers)
-    big_idx = jnp.int32(2**30)
-
-    def pick(oh, v):
-        """Scalar [1, 1] extraction of row n via a one-hot reduction."""
-        return jnp.sum(jnp.where(oh, v, 0.0), axis=0, keepdims=True)
-
-    def iteration(it, carry):
-        theta, phi, gt, gp, rad, err, tracking, start, mean = carry
-        trk_b = tracking > 0.5
-        state6 = (theta, phi, gt, gp, rad, err)
-        for j in range(n_sub):
-            # Trackers step while tracking; seekers ride sub-step 0; the
-            # miso row while its global refine budget (it*n_sub + j) lasts.
-            active = is_tracker & trk_b
-            if j == 0:
-                active = active | is_seeker
-            miso_on = (it * n_sub + j) < refine
-            active = active | (is_miso & miso_on)
-            state6 = substep(active, state6)
-            trk_b = tracking > 0.5  # unchanged inside the chain
-        theta, phi, gt, gp, rad, err = state6
-
-        # Pre-merge tracker count gates promotion (tracker.py iteration).
-        n_tracking = jnp.sum(jnp.where(trk_b, 1.0, 0.0), axis=0,
-                             keepdims=True)                      # [1, 1]
-
-        # --- merge close trackers (oldest / lowest index survives) and
-        # seeker avoidance vs the previous block's published targets —
-        # one fori over the tracker slots covers both.
-        cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
-
-        def pair_body(nn, acc):
-            # f32 0/1 carries: Mosaic cannot carry i1 vectors through an
-            # scf loop (internal layout error), so flags ride as floats.
-            stop_f, tc_f = acc
-            oh = row_idx == nn
-            th_n = pick(oh, theta)
-            ph_n = pick(oh, phi)
-            trk_n = pick(oh, tracking)
-            st_n = pick(oh, start)
-            cos_ang = cos_t * jnp.cos(th_n) + sin_t * jnp.sin(th_n) * jnp.cos(
-                phi - ph_n
-            )
-            close = (
-                (cos_ang > cos_closeness)
-                & trk_b & (trk_n > 0.5) & (row_idx != nn) & is_tracker
-            )
-            older_n = (start > st_n) | ((start == st_n) & (row_idx > nn))
-            # Seeker side: distance to published target nn.
-            t_th = pick(oh, tgt_th)
-            t_ph = pick(oh, tgt_ph)
-            t_va = pick(oh, tgt_va)
-            cos_tg = cos_t * jnp.cos(t_th) + sin_t * jnp.sin(t_th) * jnp.cos(
-                phi - t_ph
-            )
-            near_t = (cos_tg > cos_closeness) & (t_va > 0.5)
-            return (
-                jnp.where(close & older_n, 1.0, stop_f),
-                jnp.where(near_t, 1.0, tc_f),
-            )
-
-        stop_f, tc_f = jax.lax.fori_loop(
-            0, n_trackers, pair_body,
-            (jnp.zeros((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32)),
-        )
-        tracking = jnp.where(stop_f > 0.5, 0.0, tracking)
-        too_close = (tc_f > 0.5) & is_seeker
-
-        # --- jump seekers out of capture zones (pre-generated offsets).
-        j_theta = jnp.clip(theta + jt_ref[it], 0.0, theta_limit)
-        j_phi_raw = phi + jp_ref[it]
-        j_phi = j_phi_raw - jnp.floor(j_phi_raw / _TWO_PI) * _TWO_PI
-        theta = jnp.where(too_close, j_theta, theta)
-        phi = jnp.where(too_close, j_phi, phi)
-
-        # --- promote the best converged seeker to ALL free trackers.
-        valid = is_seeker & ~too_close
-        converged = valid & (err < error_threshold)
-        pm = jnp.where(converged, rad, -3.0e38)
-        maxv = jnp.max(pm, axis=0, keepdims=True)
-        is_best = converged & (pm >= maxv)
-        idx_best = jnp.min(
-            jnp.where(is_best, row_idx, big_idx), axis=0, keepdims=True
-        )
-        oh_best = row_idx == idx_best
-        th_best = pick(oh_best, theta)
-        ph_best = pick(oh_best, phi)
-        better = jnp.max(
-            jnp.where(converged & (rad > 0.0), 1.0, 0.0),
-            axis=0, keepdims=True,
-        )
-        promote = (
-            (better > 0.5) & (n_tracking < nt_f)
-            & ~(tracking > 0.5) & is_tracker
-        )
-        theta = jnp.where(promote, th_best, theta)
-        phi = jnp.where(promote, ph_best, phi)
-        start = jnp.where(promote, bi, start)
-        tracking = jnp.where(promote, 1.0, tracking)
-
-        # --- mean valid-seeker power (prune threshold).
-        n_valid = jnp.maximum(
-            jnp.sum(jnp.where(valid, 1.0, 0.0), axis=0, keepdims=True), 1.0
-        )
-        mean = jnp.sum(
-            jnp.where(valid, rad, 0.0), axis=0, keepdims=True
-        ) / n_valid
-        return theta, phi, gt, gp, rad, err, tracking, start, mean
-
-    carry = (
+    state8 = (
         th_ref[...], ph_ref[...],
         st0_ref[0], st0_ref[1], st0_ref[2], st0_ref[3],
-        trk0_ref[0], trk0_ref[1], jnp.zeros((1, 1), jnp.float32),
+        trk0_ref[0], trk0_ref[1],
     )
-    theta, phi, gt, gp, rad, err, tracking, start, mean = jax.lax.fori_loop(
-        0, n_iter, iteration, carry
+    theta, phi, gt, gp, rad, err, tracking, start, mean = block_update(
+        win_ref[...], state8, (tgt_ref[0], tgt_ref[1], tgt_ref[2]),
+        bi_ref[0:1, 0:1], ref_ref[0:1, 0:1], 0,
     )
-
-    # --- publish boundary, in-kernel (was XLA glue): prune weak/diverged
-    # trackers (gradient_ascend.cpp:398-408) + the sidelobe gate
-    # (TrackerConfig.min_power_fraction).
-    ref_p = ref_ref[0:1, 0:1]
-    weak = (rad < mean) | (rad < ref_p) | (err > error_threshold)
-    tracking = jnp.where(weak, 0.0, tracking)
-    if min_power_fraction > 0.0:
-        strongest = jnp.max(
-            jnp.where(tracking > 0.5, rad, 0.0), axis=0, keepdims=True
-        )
-        tracking = jnp.where(
-            rad >= min_power_fraction * strongest, tracking, 0.0
-        )
-
     out_th[...] = theta
     out_ph[...] = phi
     out_gt[...] = gt
@@ -662,9 +535,180 @@ def _swarm_kernel(
     out_trk[...] = tracking
     out_start[...] = start
     out_mean[...] = mean
-
     if emit_beam:
-        # --- MISO audio beam at the refined listener direction
+        beam = miso_beam(raw_ref[...], theta, phi, fam_ref[2] > 0.5)
+        out_beam[...] = jnp.broadcast_to(beam, out_beam.shape)
+
+
+def _make_swarm_block_update(
+    xyz_ref, rate_ref, spread_ref, fam_ref, jt_ref, jp_ref, *,
+    n_iter, n_sub, refine, span, taps, theta_limit, inv_divisor,
+    cos_closeness, error_threshold, n_trackers, precision, probe_layout,
+    interp, fir_phases, min_power_fraction,
+):
+    """The whole per-block swarm update (iterations + boundaries + publish
+    prune) as a reusable in-kernel function — shared verbatim by the
+    single-block kernel (``_swarm_kernel``) and the K-block chunked kernel
+    (``_swarm_chunk_kernel``).
+
+    Returns ``(block_update, miso_beam)``:
+      ``block_update(win, state8, tgt3, bi, ref_p, jt_base) -> state9``
+          state8 = (theta, phi, gt, gp, rad, err, tracking, start);
+          tgt3 = previous published (theta, phi, valid); ``jt_base``
+          offsets the jump-table rows (``k * n_iter`` for chunk block k);
+          returns the post-publish state plus the mean seeker power.
+      ``miso_beam(raw, theta, phi, is_miso) -> [1, Tp2]``
+          the audio beam at the refined listener row's direction.
+    """
+    p = rate_ref.shape[0]
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    is_tracker = fam_ref[0] > 0.5
+    is_seeker = fam_ref[1] > 0.5
+    is_miso = fam_ref[2] > 0.5
+    nt_f = float(n_trackers)
+    big_idx = jnp.int32(2**30)
+
+    def pick(oh, v):
+        """Scalar [1, 1] extraction of row n via a one-hot reduction."""
+        return jnp.sum(jnp.where(oh, v, 0.0), axis=0, keepdims=True)
+
+    def block_update(win, state8, tgt3, bi, ref_p, jt_base):
+        substep = _make_substep(
+            xyz_ref, win, rate_ref, spread_ref,
+            span=span, taps=taps, theta_limit=theta_limit,
+            inv_divisor=inv_divisor, precision=precision,
+            probe_layout=probe_layout, interp=interp, fir_phases=fir_phases,
+        )
+        tgt_th, tgt_ph, tgt_va = tgt3
+
+        def iteration(it, carry):
+            theta, phi, gt, gp, rad, err, tracking, start, mean = carry
+            trk_b = tracking > 0.5
+            state6 = (theta, phi, gt, gp, rad, err)
+            for j in range(n_sub):
+                # Trackers step while tracking; seekers ride sub-step 0;
+                # the miso row while its refine budget (it*n_sub+j) lasts.
+                active = is_tracker & trk_b
+                if j == 0:
+                    active = active | is_seeker
+                miso_on = (it * n_sub + j) < refine
+                active = active | (is_miso & miso_on)
+                state6 = substep(active, state6)
+                trk_b = tracking > 0.5  # unchanged inside the chain
+            theta, phi, gt, gp, rad, err = state6
+
+            # Pre-merge tracker count gates promotion (tracker.py).
+            n_tracking = jnp.sum(jnp.where(trk_b, 1.0, 0.0), axis=0,
+                                 keepdims=True)                  # [1, 1]
+
+            # --- merge close trackers (oldest / lowest index survives)
+            # and seeker avoidance vs the previous block's published
+            # targets — one fori over the tracker slots covers both.
+            cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
+
+            def pair_body(nn, acc):
+                # f32 0/1 carries: Mosaic cannot carry i1 vectors through
+                # an scf loop, so flags ride as floats.
+                stop_f, tc_f = acc
+                oh = row_idx == nn
+                th_n = pick(oh, theta)
+                ph_n = pick(oh, phi)
+                trk_n = pick(oh, tracking)
+                st_n = pick(oh, start)
+                cos_ang = cos_t * jnp.cos(th_n) + sin_t * jnp.sin(
+                    th_n
+                ) * jnp.cos(phi - ph_n)
+                close = (
+                    (cos_ang > cos_closeness)
+                    & trk_b & (trk_n > 0.5) & (row_idx != nn) & is_tracker
+                )
+                older_n = (start > st_n) | (
+                    (start == st_n) & (row_idx > nn)
+                )
+                # Seeker side: distance to published target nn.
+                t_th = pick(oh, tgt_th)
+                t_ph = pick(oh, tgt_ph)
+                t_va = pick(oh, tgt_va)
+                cos_tg = cos_t * jnp.cos(t_th) + sin_t * jnp.sin(
+                    t_th
+                ) * jnp.cos(phi - t_ph)
+                near_t = (cos_tg > cos_closeness) & (t_va > 0.5)
+                return (
+                    jnp.where(close & older_n, 1.0, stop_f),
+                    jnp.where(near_t, 1.0, tc_f),
+                )
+
+            stop_f, tc_f = jax.lax.fori_loop(
+                0, n_trackers, pair_body,
+                (jnp.zeros((p, 1), jnp.float32),
+                 jnp.zeros((p, 1), jnp.float32)),
+            )
+            tracking = jnp.where(stop_f > 0.5, 0.0, tracking)
+            too_close = (tc_f > 0.5) & is_seeker
+
+            # --- jump seekers out of capture zones (pre-gen offsets).
+            j_theta = jnp.clip(theta + jt_ref[jt_base + it], 0.0,
+                               theta_limit)
+            j_phi_raw = phi + jp_ref[jt_base + it]
+            j_phi = j_phi_raw - jnp.floor(j_phi_raw / _TWO_PI) * _TWO_PI
+            theta = jnp.where(too_close, j_theta, theta)
+            phi = jnp.where(too_close, j_phi, phi)
+
+            # --- promote the best converged seeker to ALL free trackers.
+            valid = is_seeker & ~too_close
+            converged = valid & (err < error_threshold)
+            pm = jnp.where(converged, rad, -3.0e38)
+            maxv = jnp.max(pm, axis=0, keepdims=True)
+            is_best = converged & (pm >= maxv)
+            idx_best = jnp.min(
+                jnp.where(is_best, row_idx, big_idx), axis=0, keepdims=True
+            )
+            oh_best = row_idx == idx_best
+            th_best = pick(oh_best, theta)
+            ph_best = pick(oh_best, phi)
+            better = jnp.max(
+                jnp.where(converged & (rad > 0.0), 1.0, 0.0),
+                axis=0, keepdims=True,
+            )
+            promote = (
+                (better > 0.5) & (n_tracking < nt_f)
+                & ~(tracking > 0.5) & is_tracker
+            )
+            theta = jnp.where(promote, th_best, theta)
+            phi = jnp.where(promote, ph_best, phi)
+            start = jnp.where(promote, bi, start)
+            tracking = jnp.where(promote, 1.0, tracking)
+
+            # --- mean valid-seeker power (prune threshold).
+            n_valid = jnp.maximum(
+                jnp.sum(jnp.where(valid, 1.0, 0.0), axis=0, keepdims=True),
+                1.0,
+            )
+            mean = jnp.sum(
+                jnp.where(valid, rad, 0.0), axis=0, keepdims=True
+            ) / n_valid
+            return theta, phi, gt, gp, rad, err, tracking, start, mean
+
+        carry = state8 + (jnp.zeros((1, 1), jnp.float32),)
+        (theta, phi, gt, gp, rad, err, tracking, start, mean) = (
+            jax.lax.fori_loop(0, n_iter, iteration, carry)
+        )
+
+        # --- publish boundary (was XLA glue): prune weak/diverged
+        # trackers (gradient_ascend.cpp:398-408) + the sidelobe gate.
+        weak = (rad < mean) | (rad < ref_p) | (err > error_threshold)
+        tracking = jnp.where(weak, 0.0, tracking)
+        if min_power_fraction > 0.0:
+            strongest = jnp.max(
+                jnp.where(tracking > 0.5, rad, 0.0), axis=0, keepdims=True
+            )
+            tracking = jnp.where(
+                rad >= min_power_fraction * strongest, tracking, 0.0
+            )
+        return theta, phi, gt, gp, rad, err, tracking, start, mean
+
+    def miso_beam(raw, theta, phi, is_miso_col):
+        # MISO audio beam at the refined listener direction
         # (miso.cpp:41-55): center-direction steering (the rotated unit
         # vector IS the steering direction — no inverse trig), one f32
         # stencil row, one dot against the RAW s-major window.
@@ -674,8 +718,8 @@ def _swarm_kernel(
         c = xyz_ref.shape[1]
         s_k = jax.lax.broadcasted_iota(jnp.int32, (1, span * c), 1) // c
         mask_e = pltpu.repeat(xyz_ref[3:4, :], span, axis=1)
-        th_m = pick(is_miso, theta)                          # [1, 1]
-        ph_m = pick(is_miso, phi)
+        th_m = pick(is_miso_col, theta)                      # [1, 1]
+        ph_m = pick(is_miso_col, phi)
         st_m, ct_m = jnp.sin(th_m), jnp.cos(th_m)
         sp_m, cp_m = jnp.sin(ph_m), jnp.cos(ph_m)
         tau = (st_m * cp_m) * px + (-st_m * sp_m) * py + ct_m * pz  # [1, C]
@@ -688,13 +732,120 @@ def _swarm_kernel(
             (span - taps) - whole.astype(jnp.int32), tau - whole,
             mask_e, s_k, span, taps, interp, fir_phases,
         )                                                    # [1, span*C]
-        beam = jax.lax.dot_general(
-            w, raw_ref[...],
+        return jax.lax.dot_general(
+            w, raw,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,             # audio stays f32
         )                                                    # [1, Tp2]
-        out_beam[...] = jnp.broadcast_to(beam, out_beam.shape)
+
+    return block_update, miso_beam
+
+
+def _swarm_chunk_kernel(
+    xyz_ref,      # [4, C]  f32 geometry + channel mask
+    win_ref,      # [K, span*C, Tp] compute-dtype bandpass-folded windows
+    th_ref,       # [P, 1]  f32 initial theta   (rows: trackers|seekers|miso)
+    ph_ref,       # [P, 1]  f32 initial phi
+    st0_ref,      # [4, P, 1] f32 initial (grad_t, grad_p, radius, error)
+    rate_ref,     # [P, 1]  f32 per-particle step rate
+    spread_ref,   # [P, 1]  f32 per-particle probe spread
+    fam_ref,      # [3, P, 1] f32 family one-hots (tracker, seeker, miso)
+    trk0_ref,     # [2, P, 1] f32 (tracking 0/1, start block) — tracker rows
+    tgt_ref,      # [3, P, 1] f32 published targets entering block 0
+    jt_ref,       # [K*I, P, 1] f32 seeker jump theta offsets, blocks-major
+    jp_ref,       # [K*I, P, 1] f32
+    bi_ref,       # [1, 1]  f32 block index of chunk block 0
+    ref_ref,      # [K, 1, 1] f32 per-block reference power
+    rs_ref,       # [K, 3, P, 1] f32 per-block seeker reset: rows
+                  #   (flag broadcast, theta, phi) — flag 0 = no reset
+    raw_ref,      # [K, span*C, Tp2] f32 raw windows (MISO beams)
+    out_th, out_ph, out_gt, out_gp, out_rad, out_err,   # [K, P, 1] f32
+    out_trk, out_start,                                  # [K, P, 1] f32
+    out_mean,                                            # [K, 1, 1] f32
+    out_beam,                                            # [K, 8, Tp2] f32
+    *,
+    n_blocks: int,
+    n_iter: int,
+    n_sub: int,
+    refine: int,
+    span: int,
+    taps: int,
+    theta_limit: float,
+    inv_divisor: float,
+    cos_closeness: float,
+    error_threshold: float,
+    n_trackers: int,
+    precision,
+    probe_layout: str,
+    interp: str = "linear",
+    fir_phases: int = 101,
+    min_power_fraction: float = 0.0,
+):
+    """K consecutive blocks' WHOLE swarm updates in ONE ``pallas_call`` —
+    the chunked-streaming shape of the fused step.  Particle state never
+    leaves VMEM between blocks; per block the kernel applies the seeker
+    reset (pre-generated outside), runs the full block update (shared
+    ``_make_swarm_block_update`` — identical math to the single-block
+    kernel), emits the MISO beam, and carries the published targets into
+    the next block's seeker avoidance exactly as the per-block path's
+    ``SwarmState.target_*`` does."""
+    block_update, miso_beam = _make_swarm_block_update(
+        xyz_ref, rate_ref, spread_ref, fam_ref, jt_ref, jp_ref,
+        n_iter=n_iter, n_sub=n_sub, refine=refine, span=span, taps=taps,
+        theta_limit=theta_limit, inv_divisor=inv_divisor,
+        cos_closeness=cos_closeness, error_threshold=error_threshold,
+        n_trackers=n_trackers, precision=precision,
+        probe_layout=probe_layout, interp=interp, fir_phases=fir_phases,
+        min_power_fraction=min_power_fraction,
+    )
+    is_seeker = fam_ref[1] > 0.5
+    is_miso = fam_ref[2] > 0.5
+    is_tracker = fam_ref[0] > 0.5
+    bi0 = bi_ref[0:1, 0:1]
+
+    def body(k, carry):
+        (theta, phi, gt, gp, rad, err, tracking, start,
+         tgt_th, tgt_ph, tgt_va) = carry
+        # Seeker reset (gradient_ascend.cpp:295-299), pre-generated.
+        rs = rs_ref[k]                                     # [3, P, 1]
+        do_reset = (rs[0] > 0.5) & is_seeker
+        theta = jnp.where(do_reset, rs[1], theta)
+        phi = jnp.where(do_reset, rs[2], phi)
+        bi = bi0 + jnp.float32(1.0) * k
+        state9 = block_update(
+            win_ref[k],
+            (theta, phi, gt, gp, rad, err, tracking, start),
+            (tgt_th, tgt_ph, tgt_va),
+            bi, ref_ref[k], k * n_iter,
+        )
+        theta, phi, gt, gp, rad, err, tracking, start, mean = state9
+        beam = miso_beam(raw_ref[k], theta, phi, is_miso)
+        out_th[k] = theta
+        out_ph[k] = phi
+        out_gt[k] = gt
+        out_gp[k] = gp
+        out_rad[k] = rad
+        out_err[k] = err
+        out_trk[k] = tracking
+        out_start[k] = start
+        out_mean[k] = mean
+        out_beam[k] = jnp.broadcast_to(beam, out_beam.shape[1:])
+        # Published targets feed the NEXT block's seeker avoidance
+        # (models/tracker.py: SwarmState.target_* = post-publish trackers).
+        tgt_th = jnp.where(is_tracker, theta, 0.0)
+        tgt_ph = jnp.where(is_tracker, phi, 0.0)
+        tgt_va = tracking
+        return (theta, phi, gt, gp, rad, err, tracking, start,
+                tgt_th, tgt_ph, tgt_va)
+
+    carry = (
+        th_ref[...], ph_ref[...],
+        st0_ref[0], st0_ref[1], st0_ref[2], st0_ref[3],
+        trk0_ref[0], trk0_ref[1],
+        tgt_ref[0], tgt_ref[1], tgt_ref[2],
+    )
+    jax.lax.fori_loop(0, n_blocks, body, carry)
 
 
 @functools.partial(
@@ -837,3 +988,146 @@ def swarm_chain_pallas(
     if emit_beam:
         return core + (outs[9][0],)
     return core
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_blocks", "n_iter", "n_sub", "refine", "n_trackers", "span",
+        "taps", "theta_limit", "divisor", "closeness", "error_threshold",
+        "interpret", "probe_layout", "interp", "fir_phases",
+        "min_power_fraction",
+    ),
+)
+def swarm_chunk_pallas(
+    xyz,            # [4, C] from pack_geometry
+    windows_bp,     # [K, span*C, Tp] bandpass-folded windows (compute dtype)
+    windows_raw,    # [K, span*C, Tp2] f32 raw windows (MISO beams)
+    theta, phi,     # [P] f32 — rows: trackers | seekers | miso
+    rates, spreads, # [P] f32
+    state0,         # (grad_t, grad_p, radius, error) [P] each
+    family,         # [3, P] f32 one-hots (tracker, seeker, miso)
+    tracking,       # [P] f32/bool
+    start,          # [P] f32
+    targets,        # [3, P] f32 published (theta, phi, valid) entering k=0
+    jump_theta,     # [K, n_iter, P] f32 per-block seeker jump offsets
+    jump_phi,       # [K, n_iter, P] f32
+    reset_flag,     # [K] f32/bool — seeker reset fires before block k
+    reset_theta,    # [K, P] f32 reset directions (seeker rows)
+    reset_phi,      # [K, P] f32
+    block_index0,   # [] f32/int — global index of chunk block 0
+    references,     # [K] f32 per-block reference powers
+    *,
+    n_blocks: int,
+    n_iter: int,
+    n_sub: int,
+    refine: int,
+    n_trackers: int,
+    span: int,
+    taps: int = dl.LINEAR_TAPS,
+    theta_limit: float,
+    divisor: float,
+    closeness: float,
+    error_threshold: float,
+    interpret: bool = False,
+    probe_layout: str = "quadrant",
+    interp: str = "linear",
+    fir_phases: int = 101,
+    min_power_fraction: float = 0.0,
+):
+    """K consecutive blocks' whole swarm updates in ONE ``pallas_call`` —
+    the chunked-streaming fused-step shape (``_swarm_chunk_kernel``).
+
+    Returns per-block stacked ``(theta, phi, grad_theta, grad_phi, radius,
+    error, tracking, start)`` each [K, P], ``mean`` [K], and the MISO
+    audio beams [K, Tp2] — block k's rows identical to running
+    :func:`swarm_chain_pallas` k+1 times with the same per-block operands
+    (seeker resets applied in-kernel from the pre-generated directions;
+    published targets carried block to block in VMEM).
+    """
+    p = theta.shape[0]
+    pad = (-p) % 32
+    pp_ = p + pad
+    kb = n_blocks
+
+    def col(v):
+        v = jnp.asarray(v, jnp.float32).reshape(p, 1)
+        return jnp.pad(v, ((0, pad), (0, 0)))
+
+    def stack3(vs):
+        return jnp.stack([col(v) for v in vs])
+
+    def blocks_cols(v, lead):
+        v = jnp.asarray(v, jnp.float32).reshape(lead, p, 1)
+        return jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+
+    st0 = jnp.stack([col(s) for s in state0])
+    jt = blocks_cols(jump_theta, kb * n_iter)
+    jp = blocks_cols(jump_phi, kb * n_iter)
+    rs = jnp.stack([
+        jnp.broadcast_to(
+            jnp.asarray(reset_flag, jnp.float32).reshape(kb, 1, 1),
+            (kb, pp_, 1),
+        ),
+        blocks_cols(reset_theta, kb),
+        blocks_cols(reset_phi, kb),
+    ], axis=1)                                            # [K, 3, P, 1]
+    bi = jnp.asarray(block_index0, jnp.float32).reshape(1, 1)
+    refs = jnp.asarray(references, jnp.float32).reshape(kb, 1, 1)
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if windows_bp.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    kern = functools.partial(
+        _swarm_chunk_kernel,
+        n_blocks=kb,
+        n_iter=n_iter,
+        n_sub=n_sub,
+        refine=refine,
+        span=span,
+        taps=taps,
+        theta_limit=float(theta_limit),
+        inv_divisor=1.0 / float(divisor),
+        cos_closeness=float(np.cos(closeness)),
+        error_threshold=float(error_threshold),
+        n_trackers=n_trackers,
+        precision=precision,
+        probe_layout=probe_layout,
+        interp=interp,
+        fir_phases=fir_phases,
+        min_power_fraction=float(min_power_fraction),
+    )
+    tp2 = windows_raw.shape[-1]
+    out_sds = (
+        [jax.ShapeDtypeStruct((kb, pp_, 1), jnp.float32)] * 8
+        + [jax.ShapeDtypeStruct((kb, 1, 1), jnp.float32)]
+        + [jax.ShapeDtypeStruct((kb, 8, tp2), jnp.float32)]
+    )
+    krows = windows_bp.shape[-2]
+    tp = windows_bp.shape[-1]
+    total_sub = kb * n_iter * n_sub
+    outs = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 16,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_sds),
+        out_shape=out_sds,
+        cost_estimate=pl.CostEstimate(
+            flops=total_sub * (2 * 4 * pp_ * krows * tp + 80 * pp_ * krows),
+            bytes_accessed=kb * krows * (
+                tp * windows_bp.dtype.itemsize + tp2 * 4
+            ) + total_sub * 4 * pp_ * krows * 4,
+            transcendentals=total_sub * 4 * 10 * pp_,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        xyz, windows_bp, col(theta), col(phi), st0,
+        col(rates), col(spreads),
+        stack3(family), stack3([tracking, start]),
+        stack3(targets), jt, jp, bi, refs, rs, windows_raw,
+    )
+    per_block = tuple(o[:, :p, 0] for o in outs[:8])       # each [K, P]
+    return per_block + (outs[8][:, 0, 0], outs[9][:, 0, :])

@@ -47,8 +47,13 @@ from beamforming_lk_tpu.ops import antenna as ant  # noqa: E402
 
 SAMPLE_RATE = 48828.0
 BLOCK = 256
-N_SMALL = 8
-N_LARGE = 104
+# Differenced span must dwarf the tunnel's multi-ms dispatch jitter: at
+# ~70 us/block the r04 span of 96 blocks was ~7 ms — inside the jitter —
+# and produced ±10 % run-to-run swings.  ~2k blocks ≈ 0.15 s of device
+# time per differenced span (min-of-3) holds the estimate to ~±2 %.
+# Both counts are multiples of 24 (pool tile 8 x fused_chunk 12).
+N_SMALL = 24
+N_LARGE = int(os.environ.get("FUSED_N_LARGE", "2064"))
 
 
 def timed_rate(scan_step, state, blocks_small, blocks_large):
@@ -130,6 +135,20 @@ def main():
                 compute="bfloat16", probe_compute="bfloat16", interp="fir"
             ),
             mimo=MimoConfig(backend="fft"),
+            tracker=TrackerConfig(iterations=2, probe_kernel="pallas"),
+        ),
+        # + chunked streaming: 12 consecutive blocks' whole swarm updates
+        # per pallas_call (swarm_chunk_pallas) with the window folds / RNG
+        # / reference powers batched per chunk, heatmap decimation batched
+        # at the chunk level — the throughput/replay shape (per-block
+        # outputs identical, test_fused_chunk_matches_per_block).
+        "bf16_fft_iter2_pallas_hm3_x12": dataclasses.replace(
+            base,
+            dsp=DspConfig(
+                compute="bfloat16", probe_compute="bfloat16",
+                fused_chunk=12,
+            ),
+            mimo=MimoConfig(backend="fft", heatmap_every=3),
             tracker=TrackerConfig(iterations=2, probe_kernel="pallas"),
         ),
         # Conservative 10-iteration profile with the Pallas chain.

@@ -34,7 +34,7 @@ from beamforming_lk_tpu.config import (  # noqa: E402
 from beamforming_lk_tpu.ops import antenna as ant  # noqa: E402
 
 BLOCK = 256
-N_SMALL, N_LARGE = 8, 104
+N_SMALL, N_LARGE = 8, 2056  # differenced span must dwarf tunnel jitter (see fused_step.py)
 
 
 def timed(scan_step, state, blocks_small, blocks_large):

@@ -39,7 +39,7 @@ from beamforming_lk_tpu.ops import delay as dl  # noqa: E402
 from beamforming_lk_tpu.ops import pallas_tracker as ptk  # noqa: E402
 
 BLOCK = 256
-N_SMALL, N_LARGE = 8, 104
+N_SMALL, N_LARGE = 8, 2056  # differenced span must dwarf tunnel jitter (see fused_step.py)
 
 
 def timed(scan_step, state, blocks_small, blocks_large, sync):

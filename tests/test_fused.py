@@ -100,6 +100,61 @@ def test_awpu_uses_fused_path_and_tracks():
     assert float(np.abs(np.asarray(out.miso_beam)).max()) > 0.0
 
 
+def test_fused_chunk_scan_matches_per_block_scan():
+    """The app-level chunked fused path (DspConfig.fused_chunk: K blocks
+    per swarm_chunk_pallas call + per-chunk batched heatmap decimation)
+    produces per-block outputs identical to the per-block scan."""
+    import dataclasses
+
+    import numpy as np
+
+    from beamforming_lk_tpu.app import awpu_init, make_awpu_step
+    from beamforming_lk_tpu.config import Config, DspConfig, MimoConfig
+
+    pts = ant.create_antenna_grid(8, 8, 0.02)
+    base = Config(
+        mimo=MimoConfig(rows=12, columns=12, heatmap_every=3),
+        tracker=TrackerConfig(
+            n_seekers=8, n_trackers=4, iterations=2,
+            probe_kernel="pallas", seeker_reset_interval=4,
+        ),
+    )
+    cfg_chunk = dataclasses.replace(
+        base, dsp=dataclasses.replace(base.dsp, fused_chunk=6)
+    )
+    blocks = jnp.stack(list(synthetic_blocks(pts, SOURCES, 12,
+                                             amplitude=1e-2)))
+    step_a = make_awpu_step(pts, base)
+    step_b = make_awpu_step(pts, cfg_chunk)
+    state_a = awpu_init(base, 64, seed=1)
+    state_b = awpu_init(cfg_chunk, 64, seed=1)
+    state_a, out_a = step_a.scan(state_a, blocks)
+    state_b, out_b = step_b.scan(state_b, blocks)
+    np.testing.assert_array_equal(
+        np.asarray(out_b.targets.valid), np.asarray(out_a.targets.valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_b.targets.theta), np.asarray(out_a.targets.theta),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_b.powers), np.asarray(out_a.powers),
+        rtol=1e-5, atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_b.prev_max), np.asarray(out_a.prev_max), rtol=1e-5
+    )
+    scale = max(float(np.abs(np.asarray(out_a.miso_beam)).max()), 1e-12)
+    np.testing.assert_allclose(
+        np.asarray(out_b.miso_beam) / scale,
+        np.asarray(out_a.miso_beam) / scale, atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state_b.swarm.tracking), np.asarray(state_a.swarm.tracking)
+    )
+    assert int(np.asarray(state_b.block_index)) == 12
+
+
 def test_fused_step_requires_enough_slots():
     dsp = DspConfig()
     with pytest.raises(ValueError):

@@ -232,6 +232,78 @@ def test_fused_kernel_miso_beam_matches_xla_weights(interp):
     np.testing.assert_allclose(got / scale, want / scale, atol=5e-5)
 
 
+def test_fused_chunk_matches_per_block():
+    """The K-block chunked kernel (swarm_chunk_pallas via
+    make_fused_chunk_impl) reproduces K sequential per-block fused steps:
+    identical key schedule by construction, identical block math via the
+    shared _make_swarm_block_update — trajectories, discrete decisions,
+    published targets and MISO beams all match."""
+    from beamforming_lk_tpu.io import ring as rg
+    from beamforming_lk_tpu.io.synthetic import plane_wave_block
+    from beamforming_lk_tpu.models import miso as ms
+
+    dsp = DspConfig()
+    cfg = TrackerConfig(iterations=2, tracker_steps=3, probe_kernel="pallas",
+                        seeker_reset_interval=3)  # a reset fires mid-chunk
+    pts = ant.create_antenna_grid(8, 8, 0.02)
+    span = dl.probe_span(pts, ACFG.samples_per_meter, dl.LINEAR_TAPS,
+                         dsp.shift_range)
+    fused = tk.make_fused_step_impl(cfg, dsp, ACFG, probe_span=span)
+    chunk = tk.make_fused_chunk_impl(cfg, dsp, ACFG, probe_span=span,
+                                     n_blocks=4)
+
+    key = jax.random.PRNGKey(9)
+    state_a = tk.swarm_init(cfg, key)
+    state_b = tk.swarm_init(cfg, key)
+    miso_a = ms.miso_init(0.4, 1.0).particle
+    miso_b = ms.miso_init(0.4, 1.0).particle
+    hist = rg.ring_init(64, dsp.history)
+    windows = []
+    beams_a = []
+    tgts_a = []
+    pts_j = jnp.asarray(pts)
+    for i in range(4):
+        blk = plane_wave_block(pts, [(0.5, 1.2, 5000.0)], i * 256, 256,
+                               ACFG, noise_std=0.01,
+                               rng=np.random.default_rng(70 + i))
+        hist = rg.ring_push(hist, jnp.asarray(blk))
+        w = rg.ring_window(hist, dsp.block_size, dsp.shift_range,
+                           dl.LINEAR_TAPS)
+        windows.append(w)
+        state_a, tg, miso_a, beam = fused(
+            state_a, miso_a, w, jnp.int32(i), pts_j, None
+        )
+        beams_a.append(np.asarray(beam))
+        tgts_a.append(jax.tree.map(np.asarray, tg))
+
+    state_b, tg_b, miso_b, beams_b = chunk(
+        state_b, miso_b, jnp.stack(windows), jnp.int32(0), pts_j, None
+    )
+    a, b = jax.tree.map(np.asarray, state_a), jax.tree.map(np.asarray, state_b)
+    np.testing.assert_array_equal(b.tracking, a.tracking)
+    np.testing.assert_array_equal(b.start, a.start)
+    np.testing.assert_allclose(b.trackers.theta, a.trackers.theta, atol=1e-5)
+    np.testing.assert_allclose(b.seekers.theta, a.seekers.theta, atol=1e-5)
+    np.testing.assert_allclose(b.seekers.phi, a.seekers.phi, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(miso_b.theta),
+                               np.asarray(miso_a.theta), atol=1e-5)
+    assert int(np.asarray(state_b.reset_count)) == int(
+        np.asarray(state_a.reset_count)
+    )
+    # Per-block published targets and beams match block for block.
+    for i in range(4):
+        np.testing.assert_array_equal(
+            np.asarray(tg_b.valid)[i], tgts_a[i].valid
+        )
+        np.testing.assert_allclose(
+            np.asarray(tg_b.theta)[i], tgts_a[i].theta, atol=1e-5
+        )
+        scale = max(float(np.abs(beams_a[i]).max()), 1e-12)
+        np.testing.assert_allclose(
+            np.asarray(beams_b)[i] / scale, beams_a[i] / scale, atol=1e-5
+        )
+
+
 @pytest.mark.parametrize("probe_layout,interp", [
     ("quadrant", "linear"),
     ("horizontal", "linear"),
