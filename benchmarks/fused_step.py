@@ -146,7 +146,7 @@ def main():
             base,
             dsp=DspConfig(
                 compute="bfloat16", probe_compute="bfloat16",
-                fused_chunk=12,
+                fused_chunk=int(os.environ.get("FUSED_CHUNK", "12")),
             ),
             mimo=MimoConfig(backend="fft", heatmap_every=3),
             tracker=TrackerConfig(iterations=2, probe_kernel="pallas"),

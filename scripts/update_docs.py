@@ -66,7 +66,9 @@ FUSED_NAMES = [
     ("bf16_fft_iter2_pallas_fir",
      "same, in-kernel 8-tap FIR stencil (`interp=\"fir\"` quality variant)"),
     ("bf16_fft_iter2_pallas_hm3",
-     "**+ display-rate heatmap (`heatmap_every=3`, deployment)**"),
+     "+ display-rate heatmap (`heatmap_every=3`, live streaming)"),
+    ("bf16_fft_iter2_pallas_hm3_x12",
+     "**+ chunked streaming (12 blocks/kernel call — replay/throughput)**"),
 ]
 
 
