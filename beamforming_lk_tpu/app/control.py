@@ -155,7 +155,9 @@ class ControlUnit:
         each (:meth:`AwpuPipeline.process_blocks` — the chunked/scan
         streaming path).  Returns per-array stacked outputs; fusion and the
         KF see the final block's targets (``pipe.last``)."""
-        m = int(np.asarray(blocks[0]).shape[0])
+        # np.shape, not np.asarray: reading the batch length must not pull
+        # the whole device-resident block stack back to the host.
+        m = int(np.shape(blocks[0])[0])
         self.metrics.start_block()
         outs = [p.process_blocks(b) for p, b in zip(self.pipelines, blocks)]
         for o in outs:
