@@ -402,6 +402,23 @@ def make_awpu_step(
         )
         else 0
     )
+    if fused_chunk:
+        # The chunk kernel holds ALL K windows in VMEM: [K, span*C, Tp]
+        # bandpassed (probe dtype) + raw (f32).  Gate on the v5e budget.
+        bp_item = 2 if dsp.probe_compute == "bfloat16" else 4
+        win_bytes = fused_chunk * span * c * (dsp.block_size + 2) * (
+            bp_item + 4
+        )
+        if win_bytes > 72 * 1024 * 1024:
+            import sys
+
+            print(
+                f"fused_chunk={fused_chunk} needs ~{win_bytes >> 20} MB of "
+                "VMEM-resident windows (> 72 MB budget); using the "
+                "per-block fused step — lower DspConfig.fused_chunk",
+                file=sys.stderr,
+            )
+            fused_chunk = 0
     chunk_impl = None
     if fused_chunk:
         chunk_impl = tk.make_fused_chunk_impl(

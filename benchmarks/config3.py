@@ -47,8 +47,8 @@ SAMPLE_RATE = 48828.0
 BLOCK = 256
 CHANNELS_PER_ARRAY = 128          # 2 links x 128 mics = 256 beamformed mics
 GRID = 65
-POOL = 16
-TILE = int(os.environ.get("CONFIG3_TILE", "8"))   # blocks = POOL * TILE
+POOL = 24                         # multiple of fused_chunk 12
+TILE = int(os.environ.get("CONFIG3_TILE", "32"))  # blocks = POOL * TILE
 
 
 def main():
@@ -60,7 +60,12 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     cfg = Config(
-        dsp=DspConfig(compute="bfloat16", probe_compute="bfloat16"),
+        # Chunked-streaming fused path — the replay/throughput shape
+        # (fused-ladder x12 row).  Chunk 6 at 128 mics: the kernel holds
+        # all K windows in VMEM ([K, span*C, Tp] bp + raw), and span*C is
+        # 3.3x the 64-mic case.
+        dsp=DspConfig(compute="bfloat16", probe_compute="bfloat16",
+                      fused_chunk=6 if on_tpu else 0),
         mimo=MimoConfig(rows=GRID, columns=GRID, backend="fft",
                         heatmap_every=3),
         tracker=TrackerConfig(
