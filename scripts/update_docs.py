@@ -182,11 +182,12 @@ def gen_soak(m: dict) -> str:
     s = m.get("soak") or {}
     lines = [
         f"- pure ingest ({s.get('seconds', 10)} s at the exact FPGA wire "
-        f"load): {fmt(s['packets'], 0)} / {fmt(s['packets'], 0)} packets "
-        f"received, **{s['drops']} ring drops, {s['counter_gaps']} "
-        f"header-counter gaps**, per-block consumer latency p95 = "
-        f"{s['ingest_p95_us']} µs — the recvmmsg packet path holds "
-        f"{fmt(s['packets_per_s'], 0)} pkt/s with two orders of headroom."
+        f"load): {fmt(s['packets_received'], 0)} / "
+        f"{fmt(s['packets_sent'], 0)} packets received, **{s['drops']} "
+        f"ring drops, {s['counter_gaps']} header-counter gap(s)**, "
+        f"per-block consumer latency p95 = {s['ingest_p95_us']} µs — the "
+        f"recvmmsg packet path holds {fmt(s['packets_per_s'], 0)} pkt/s "
+        f"with two orders of headroom."
     ]
     for key, label in (("cpu", "CPU consumer (fused step per block)"),
                        ("tpu", "TPU consumer (deployment fused step)")):
@@ -196,7 +197,7 @@ def gen_soak(m: dict) -> str:
         lines.append(
             f"- {label}: {c['seconds']} s closed loop, dispatch group "
             f"{c['group']} block(s) (deadline {fmt(c['deadline_ms'], 1)} ms"
-            f"/dispatch), block latency p50 {fmt(c['p50_ms'], 1)} / p95 "
+            f"/dispatch), dispatch latency p50 {fmt(c['p50_ms'], 1)} / p95 "
             f"{fmt(c['p95_ms'], 1)} / p99 {fmt(c['p99_ms'], 1)} ms — "
             f"**{c['deadline_misses']} deadline misses / "
             f"{fmt(c['dispatches'], 0)} dispatches**, {c['ring_drops']} "
