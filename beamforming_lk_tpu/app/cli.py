@@ -330,15 +330,16 @@ def main(argv=None) -> int:
                     f"{len(np.asarray(result.mask))} channels usable"
                 )
     # Offline sources can run many blocks per dispatch (the faster-than-
-    # real-time udpreplay analog); live sources stay per-block.
+    # real-time udpreplay analog); live sources stay per-block.  Heatmap-
+    # only pipelines batch at the heatmap chunk; fused pipelines at the
+    # fused chunk (the chunked swarm kernel, docs/performance.md).
     batch = args.replay_batch
-    if batch <= 0:
-        batch = (
-            cfg.mimo.heatmap_chunk
-            if (cfg.mimo.heatmap_chunk > 1
-                and args.source in ("synthetic", "pcap"))
-            else 1
-        )
+    if batch <= 0 and args.source in ("synthetic", "pcap"):
+        if cfg.mimo.heatmap_chunk > 1 and not (args.tracking or args.miso):
+            batch = cfg.mimo.heatmap_chunk
+        elif cfg.dsp.fused_chunk > 1:
+            batch = cfg.dsp.fused_chunk
+    batch = max(batch, 1)
     with trace(args.profile):
         summary = unit.run(
             sources,
