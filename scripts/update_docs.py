@@ -224,11 +224,24 @@ def gen_soak(m: dict) -> str:
 def gen_headline(m: dict) -> str:
     best = max(v for v in m["bench"].values() if v is not None)
     fused = max(v for v in m["fused"].values() if v is not None)
+    live = m["fused"].get("bf16_fft_iter2_pallas_hm3")
+    live_clause = (
+        f" chunked replay ({fmt(rt(live))}× live per-block)"
+        if live is not None and live != fused
+        else " at the deployment cadence"
+    )
     cli = m["cli_replay"].get("realtime_x")
     cli_clause = (
         f"; CLI synthetic replay {fmt(cli)}× real time end-to-end "
         f"(`--heatmap-chunk {m['cli_replay']['chunk']}`)"
         if cli is not None
+        else ""
+    )
+    c3 = (m.get("config3") or {}).get("blocks_per_s")
+    c3_clause = (
+        f"; two-array 256-mic deployment + triangulation "
+        f"{fmt(rt(c3))}× (config 3)"
+        if c3 is not None
         else ""
     )
     return (
@@ -240,7 +253,7 @@ def gen_headline(m: dict) -> str:
         f"vs_baseline {fmt(m['vs_baseline'], 1)}×; "
         f"{fmt(rt(m['bench']['fft_bf16']))}× single-dispatch); full fused "
         f"step (heatmap + tracker swarm + MISO) "
-        f"**{fmt(rt(fused))}× real time** at the deployment cadence"
+        f"**{fmt(rt(fused))}× real time**{live_clause}{c3_clause}"
         f"{cli_clause}."
     )
 
