@@ -375,6 +375,9 @@ def make_swarm_step_impl(
     fam_ts_np[0, :nt] = 1.0
     fam_ts_np[1, nt:] = 1.0
     fam_ts = jnp.asarray(fam_ts_np)
+    # Sub-steps j > 0 move trackers only (seekers ride j == 0), so the
+    # kernel can run them on the tracker prefix when iterations unroll.
+    prefix_ts = ((nt + 7) // 8) * 8 if cfg.iterations <= 4 else 0
 
     def step(state: SwarmState, window, block_index, points, channel_mask):
         # Hoist the probe-window unfold (and compute-dtype cast) out of the
@@ -475,6 +478,7 @@ def make_swarm_step_impl(
                     taps=taps, interp=dsp.interp,
                     fir_phases=dsp.fir_phases,
                     min_power_fraction=cfg.min_power_fraction,
+                    prefix_rows=prefix_ts,
                 )
             )
             combo = Particles(th, ph, gt, gp, rad, err)
@@ -685,13 +689,17 @@ def make_fused_step_impl(
     # horizontal probes).
     use_pallas_chain = _use_pallas_chain(cfg, dsp, axis_name)
     # Per-particle dynamics for the two mixed-family dispatch shapes.
+    # Row layout: trackers | miso | seekers — the rows that can move on
+    # sub-steps j > 0 (trackers + the miso refine budget) sit in a
+    # contiguous prefix, enabling the kernel's prefix-rows optimization
+    # (sub-steps 1.. run on ~(nt+1) rows instead of all P).
     rates_tsm = jnp.asarray(
-        [tracker_rate] * nt + [seeker_rate] * ns + [miso_rate], jnp.float32
+        [tracker_rate] * nt + [miso_rate] + [seeker_rate] * ns, jnp.float32
     )
     spreads_tsm = jnp.asarray(
         [cfg.tracker_spread] * nt
-        + [cfg.seeker_spread] * ns
-        + [cfg.tracker_spread],
+        + [cfg.tracker_spread]
+        + [cfg.seeker_spread] * ns,
         jnp.float32,
     )
     rates_tm = jnp.asarray([tracker_rate] * nt + [miso_rate], jnp.float32)
@@ -701,9 +709,10 @@ def make_fused_step_impl(
     # Family one-hots for the whole-swarm kernel's row layout.
     fam_np = np.zeros((3, nt + ns + 1), np.float32)
     fam_np[0, :nt] = 1.0
-    fam_np[1, nt:nt + ns] = 1.0
-    fam_np[2, nt + ns:] = 1.0
+    fam_np[2, nt] = 1.0
+    fam_np[1, nt + 1:] = 1.0
     fam = jnp.asarray(fam_np)
+    prefix_rows = ((nt + 1 + 7) // 8) * 8 if cfg.iterations <= 4 else 0
     t_len = dsp.block_size
 
     def concat_p(*groups: Particles) -> Particles:
@@ -786,10 +795,10 @@ def make_fused_step_impl(
 
             zt = jnp.zeros((cfg.iterations, nt), jnp.float32)
             zm = jnp.zeros((cfg.iterations, 1), jnp.float32)
-            jt_full = jnp.concatenate([zt, jts, zm], axis=1)
-            jp_full = jnp.concatenate([zt, jps, zm], axis=1)
+            jt_full = jnp.concatenate([zt, zm, jts], axis=1)
+            jp_full = jnp.concatenate([zt, zm, jps], axis=1)
             pad_sm = jnp.zeros((ns + 1,), jnp.float32)
-            comb = concat_p(state.trackers, seekers, miso_particle)
+            comb = concat_p(state.trackers, miso_particle, seekers)
             tgt = jnp.stack([
                 jnp.concatenate([state.target_theta, pad_sm]),
                 jnp.concatenate([state.target_phi, pad_sm]),
@@ -821,12 +830,13 @@ def make_fused_step_impl(
                     taps=taps, interp=dsp.interp,
                     fir_phases=dsp.fir_phases,
                     min_power_fraction=cfg.min_power_fraction,
+                    prefix_rows=prefix_rows,
                 )
             )
             combo = Particles(th, ph, gt, gp, rad, err)
             trackers = jax.tree.map(lambda x: x[:nt], combo)
-            seekers = jax.tree.map(lambda x: x[nt:nt + ns], combo)
-            miso_p = jax.tree.map(lambda x: x[nt + ns:], combo)
+            miso_p = jax.tree.map(lambda x: x[nt:nt + 1], combo)
+            seekers = jax.tree.map(lambda x: x[nt + 1:], combo)
             # trk_o is POST-prune (publish boundary in-kernel); the audio
             # beam came out of the same kernel call.
             tracking = trk_o[:nt] > 0.5
@@ -842,16 +852,16 @@ def make_fused_step_impl(
                 slot = it_idx * cfg.tracker_steps + j
                 miso_on = jnp.broadcast_to(slot < miso_refine_steps, (1,))
                 if j == 0:
-                    comb = concat_p(trackers, seekers, miso_p)
+                    comb = concat_p(trackers, miso_p, seekers)
                     active = jnp.concatenate([
-                        tracking, jnp.ones((ns,), bool), miso_on,
+                        tracking, miso_on, jnp.ones((ns,), bool),
                     ])
                     comb = mono(
                         comb, active, rate=rates_tsm, spread=spreads_tsm
                     )
                     trackers = jax.tree.map(lambda x: x[:nt], comb)
-                    seekers = jax.tree.map(lambda x: x[nt:nt + ns], comb)
-                    miso_p = jax.tree.map(lambda x: x[nt + ns:], comb)
+                    miso_p = jax.tree.map(lambda x: x[nt:nt + 1], comb)
+                    seekers = jax.tree.map(lambda x: x[nt + 1:], comb)
                 elif j < miso_refine_steps:
                     comb = concat_p(trackers, miso_p)
                     active = jnp.concatenate([tracking, miso_on])
@@ -1019,20 +1029,23 @@ def make_fused_chunk_impl(
     tracker_rate = cfg.tracker_step_gain * cfg.tracker_spread
     seeker_rate = cfg.seeker_step_gain * cfg.seeker_spread
     miso_rate = tracker_rate / 3.0                       # miso.cpp:39-40
+    # Row layout: trackers | miso | seekers (see make_fused_step_impl —
+    # the prefix-rows optimization needs the j>0-movable rows contiguous).
     rates_tsm = jnp.asarray(
-        [tracker_rate] * nt + [seeker_rate] * ns + [miso_rate], jnp.float32
+        [tracker_rate] * nt + [miso_rate] + [seeker_rate] * ns, jnp.float32
     )
     spreads_tsm = jnp.asarray(
         [cfg.tracker_spread] * nt
-        + [cfg.seeker_spread] * ns
-        + [cfg.tracker_spread],
+        + [cfg.tracker_spread]
+        + [cfg.seeker_spread] * ns,
         jnp.float32,
     )
     fam_np = np.zeros((3, nt + ns + 1), np.float32)
     fam_np[0, :nt] = 1.0
-    fam_np[1, nt:nt + ns] = 1.0
-    fam_np[2, nt + ns:] = 1.0
+    fam_np[2, nt] = 1.0
+    fam_np[1, nt + 1:] = 1.0
     fam = jnp.asarray(fam_np)
+    prefix_rows = ((nt + 1 + 7) // 8) * 8 if cfg.iterations <= 4 else 0
     t_len = dsp.block_size
     kb = int(n_blocks)
     jump = cfg.theta_limit / 2.0
@@ -1092,17 +1105,17 @@ def make_fused_chunk_impl(
         ).astype(jnp.float32)
         zt_r = jnp.zeros((kb, nt), jnp.float32)
         zm_r = jnp.zeros((kb, 1), jnp.float32)
-        reset_th = jnp.concatenate([zt_r, rths, zm_r], axis=1)   # [K, P]
-        reset_ph = jnp.concatenate([zt_r, rphs, zm_r], axis=1)
+        reset_th = jnp.concatenate([zt_r, zm_r, rths], axis=1)   # [K, P]
+        reset_ph = jnp.concatenate([zt_r, zm_r, rphs], axis=1)
         zt_j = jnp.zeros((kb, cfg.iterations, nt), jnp.float32)
         zm_j = jnp.zeros((kb, cfg.iterations, 1), jnp.float32)
-        jt_full = jnp.concatenate([zt_j, jts, zm_j], axis=2)     # [K, I, P]
-        jp_full = jnp.concatenate([zt_j, jps, zm_j], axis=2)
+        jt_full = jnp.concatenate([zt_j, zm_j, jts], axis=2)     # [K, I, P]
+        jp_full = jnp.concatenate([zt_j, zm_j, jps], axis=2)
 
         pad_sm = jnp.zeros((ns + 1,), jnp.float32)
         comb = jax.tree.map(
             lambda *leaves: jnp.concatenate(leaves),
-            state.trackers, state.seekers, miso_particle,
+            state.trackers, miso_particle, state.seekers,
         )
         tgt = jnp.stack([
             jnp.concatenate([state.target_theta, pad_sm]),
@@ -1135,6 +1148,7 @@ def make_fused_chunk_impl(
                 taps=taps, interp=dsp.interp,
                 fir_phases=dsp.fir_phases,
                 min_power_fraction=cfg.min_power_fraction,
+                prefix_rows=prefix_rows,
             )
         )
         # Per-block published targets (post-prune, like the per-block path).
@@ -1151,8 +1165,8 @@ def make_fused_chunk_impl(
             lambda x: x[-1], Particles(th, ph, gt, gp, rad, err)
         )
         trackers = jax.tree.map(lambda x: x[:nt], last)
-        seekers = jax.tree.map(lambda x: x[nt:nt + ns], last)
-        miso_p = jax.tree.map(lambda x: x[nt + ns:], last)
+        miso_p = jax.tree.map(lambda x: x[nt:nt + 1], last)
+        seekers = jax.tree.map(lambda x: x[nt + 1:], last)
         new_state = SwarmState(
             seekers=seekers,
             trackers=trackers,

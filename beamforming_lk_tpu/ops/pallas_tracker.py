@@ -181,17 +181,18 @@ def _stencil_rows(shift, frac, mask_e, s_k, span, taps, interp, fir_phases):
 
 
 def _make_substep(
-    xyz_ref, win, rate_ref, spread_ref, *,
+    xyz_ref, win, rate, spread, *,
     span, taps, theta_limit, inv_divisor, precision,
     probe_layout="quadrant", interp="linear", fir_phases=101,
 ):
     """Shared monopulse sub-step core: (active, carry6) -> carry6.
 
     One [4P, C*span] MXU dot per call; all the probe/steering/stencil math
-    on the VPU.  Closured over the geometry ref and the window VALUE
-    (callers load it — ``win_ref[...]`` for the single-window kernels,
-    ``win_ref[k]`` for the chunked kernel's current block) so every kernel
-    reuses it verbatim.
+    on the VPU.  Closured over the geometry ref and the window / rate /
+    spread VALUES — the row count follows ``rate``'s, so callers can build
+    a full-swarm substep AND a prefix-rows substep (the first R rows) from
+    the same window and run cheap sub-steps on only the particles that can
+    move (see ``_make_swarm_block_update``'s prefix path).
 
     ``interp="fir"`` builds the ``taps``-tap polyphase stencil IN-KERNEL
     from the windowed-sinc closed form (the [phases, taps] bank of
@@ -201,7 +202,7 @@ def _make_substep(
     row is recomputed from the quantized fraction where it is needed
     (f32 vs the XLA bank's f64 build: coefficient deltas ~1e-7)."""
     c = xyz_ref.shape[1]
-    p = rate_ref.shape[0]
+    p = rate.shape[0]
     px = xyz_ref[0:1, :]                                   # [1, C]
     py = xyz_ref[1:2, :]
     pz = xyz_ref[2:3, :]
@@ -210,8 +211,6 @@ def _make_substep(
     # Static per-column tap offset s = k // C in the s-major layout.
     s_k = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1) // c
     mask_e = pltpu.repeat(mask, span, axis=1)              # [1, span*C]
-    spread = spread_ref[...]
-    rate = rate_ref[...]
     sin_sp = jnp.sin(spread)
     cos_sp = jnp.cos(spread)
     sin_tl = float(np.sin(theta_limit))
@@ -317,7 +316,7 @@ def _chain_kernel(
     fir_phases: int = 101,
 ):
     substep = _make_substep(
-        xyz_ref, win_ref[...], rate_ref, spread_ref,
+        xyz_ref, win_ref[...], rate_ref[...], spread_ref[...],
         span=span, taps=taps, theta_limit=theta_limit,
         inv_divisor=inv_divisor, precision=precision,
         probe_layout=probe_layout, interp=interp, fir_phases=fir_phases,
@@ -470,6 +469,7 @@ def _swarm_kernel(
     fir_phases: int = 101,
     min_power_fraction: float = 0.0,
     emit_beam: bool = False,
+    prefix_rows: int = 0,
 ):
     """The WHOLE per-block swarm update as one kernel: ``n_iter`` iterations
     of [``n_sub`` chained monopulse sub-steps + merge + seeker jump +
@@ -515,7 +515,7 @@ def _swarm_kernel(
         cos_closeness=cos_closeness, error_threshold=error_threshold,
         n_trackers=n_trackers, precision=precision,
         probe_layout=probe_layout, interp=interp, fir_phases=fir_phases,
-        min_power_fraction=min_power_fraction,
+        min_power_fraction=min_power_fraction, prefix_rows=prefix_rows,
     )
     state8 = (
         th_ref[...], ph_ref[...],
@@ -544,12 +544,23 @@ def _make_swarm_block_update(
     xyz_ref, rate_ref, spread_ref, fam_ref, jt_ref, jp_ref, *,
     n_iter, n_sub, refine, span, taps, theta_limit, inv_divisor,
     cos_closeness, error_threshold, n_trackers, precision, probe_layout,
-    interp, fir_phases, min_power_fraction,
+    interp, fir_phases, min_power_fraction, prefix_rows=0,
 ):
     """The whole per-block swarm update (iterations + boundaries + publish
     prune) as a reusable in-kernel function — shared verbatim by the
     single-block kernel (``_swarm_kernel``) and the K-block chunked kernel
     (``_swarm_chunk_kernel``).
+
+    ``prefix_rows`` > 0 enables the sub-step prefix optimization: on
+    sub-steps j > 0 only trackers (and the MISO row's refine budget) can
+    move, so the caller lays rows out as trackers | miso | seekers and the
+    kernel runs those sub-steps on ONLY the first ``prefix_rows`` rows —
+    the stencil expansion (the kernel's measured VPU floor) shrinks by
+    prefix/P for (n_sub-1)/n_sub of the chain.  Rows beyond the prefix
+    pass through bit-identically to the masked full-width compute (matmul
+    rows are independent).  Requires the iterations to unroll (the refine
+    budget and the slicing must be static), so callers pass it only when
+    ``n_iter`` is small.
 
     Returns ``(block_update, miso_beam)``:
       ``block_update(win, state8, tgt3, bi, ref_p, jt_base) -> state9``
@@ -561,12 +572,16 @@ def _make_swarm_block_update(
           the audio beam at the refined listener row's direction.
     """
     p = rate_ref.shape[0]
+    if prefix_rows >= p:
+        prefix_rows = 0
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
     is_tracker = fam_ref[0] > 0.5
     is_seeker = fam_ref[1] > 0.5
     is_miso = fam_ref[2] > 0.5
     nt_f = float(n_trackers)
     big_idx = jnp.int32(2**30)
+    rate_full = rate_ref[...]
+    spread_full = spread_ref[...]
 
     def pick(oh, v):
         """Scalar [1, 1] extraction of row n via a one-hot reduction."""
@@ -574,26 +589,49 @@ def _make_swarm_block_update(
 
     def block_update(win, state8, tgt3, bi, ref_p, jt_base):
         substep = _make_substep(
-            xyz_ref, win, rate_ref, spread_ref,
+            xyz_ref, win, rate_full, spread_full,
             span=span, taps=taps, theta_limit=theta_limit,
             inv_divisor=inv_divisor, precision=precision,
             probe_layout=probe_layout, interp=interp, fir_phases=fir_phases,
         )
+        if prefix_rows:
+            substep_p = _make_substep(
+                xyz_ref, win,
+                rate_full[0:prefix_rows], spread_full[0:prefix_rows],
+                span=span, taps=taps, theta_limit=theta_limit,
+                inv_divisor=inv_divisor, precision=precision,
+                probe_layout=probe_layout, interp=interp,
+                fir_phases=fir_phases,
+            )
         tgt_th, tgt_ph, tgt_va = tgt3
 
         def iteration(it, carry):
             theta, phi, gt, gp, rad, err, tracking, start, mean = carry
             trk_b = tracking > 0.5
             state6 = (theta, phi, gt, gp, rad, err)
+            static_it = isinstance(it, int)
             for j in range(n_sub):
                 # Trackers step while tracking; seekers ride sub-step 0;
                 # the miso row while its refine budget (it*n_sub+j) lasts.
                 active = is_tracker & trk_b
                 if j == 0:
                     active = active | is_seeker
-                miso_on = (it * n_sub + j) < refine
-                active = active | (is_miso & miso_on)
-                state6 = substep(active, state6)
+                slot = it * n_sub + j
+                if static_it:
+                    if slot < refine:
+                        active = active | is_miso
+                else:
+                    active = active | (is_miso & (slot < refine))
+                if prefix_rows and static_it and j > 0:
+                    # Only prefix rows (trackers | miso) can move here.
+                    sub6 = tuple(x[0:prefix_rows] for x in state6)
+                    sub6 = substep_p(active[0:prefix_rows], sub6)
+                    state6 = tuple(
+                        jnp.concatenate([n, f[prefix_rows:]], axis=0)
+                        for n, f in zip(sub6, state6)
+                    )
+                else:
+                    state6 = substep(active, state6)
                 trk_b = tracking > 0.5  # unchanged inside the chain
             theta, phi, gt, gp, rad, err = state6
 
@@ -690,9 +728,16 @@ def _make_swarm_block_update(
             return theta, phi, gt, gp, rad, err, tracking, start, mean
 
         carry = state8 + (jnp.zeros((1, 1), jnp.float32),)
-        (theta, phi, gt, gp, rad, err, tracking, start, mean) = (
-            jax.lax.fori_loop(0, n_iter, iteration, carry)
-        )
+        if prefix_rows:
+            # Unrolled iterations: the prefix slicing and the miso refine
+            # budget need static (it, j).
+            for it_s in range(n_iter):
+                carry = iteration(it_s, carry)
+            (theta, phi, gt, gp, rad, err, tracking, start, mean) = carry
+        else:
+            (theta, phi, gt, gp, rad, err, tracking, start, mean) = (
+                jax.lax.fori_loop(0, n_iter, iteration, carry)
+            )
 
         # --- publish boundary (was XLA glue): prune weak/diverged
         # trackers (gradient_ascend.cpp:398-408) + the sidelobe gate.
@@ -781,6 +826,7 @@ def _swarm_chunk_kernel(
     interp: str = "linear",
     fir_phases: int = 101,
     min_power_fraction: float = 0.0,
+    prefix_rows: int = 0,
 ):
     """K consecutive blocks' WHOLE swarm updates in ONE ``pallas_call`` —
     the chunked-streaming shape of the fused step.  Particle state never
@@ -797,7 +843,7 @@ def _swarm_chunk_kernel(
         cos_closeness=cos_closeness, error_threshold=error_threshold,
         n_trackers=n_trackers, precision=precision,
         probe_layout=probe_layout, interp=interp, fir_phases=fir_phases,
-        min_power_fraction=min_power_fraction,
+        min_power_fraction=min_power_fraction, prefix_rows=prefix_rows,
     )
     is_seeker = fam_ref[1] > 0.5
     is_miso = fam_ref[2] > 0.5
@@ -854,7 +900,7 @@ def _swarm_chunk_kernel(
         "n_iter", "n_sub", "refine", "n_trackers", "span", "taps",
         "theta_limit", "divisor", "closeness", "error_threshold",
         "interpret", "probe_layout", "interp", "fir_phases",
-        "min_power_fraction",
+        "min_power_fraction", "prefix_rows",
     ),
 )
 def swarm_chain_pallas(
@@ -888,6 +934,7 @@ def swarm_chain_pallas(
     interp: str = "linear",
     fir_phases: int = 101,
     min_power_fraction: float = 0.0,
+    prefix_rows: int = 0,
 ):
     """Run the whole per-block swarm update (all ``n_iter`` iterations with
     their merge/jump/promote boundaries) AND the publish boundary (prune +
@@ -947,6 +994,7 @@ def swarm_chain_pallas(
         fir_phases=fir_phases,
         min_power_fraction=float(min_power_fraction),
         emit_beam=emit_beam,
+        prefix_rows=int(prefix_rows),
     )
     out_sds = [jax.ShapeDtypeStruct((pp_, 1), jnp.float32)] * 8 + [
         jax.ShapeDtypeStruct((1, 1), jnp.float32)
@@ -996,7 +1044,7 @@ def swarm_chain_pallas(
         "n_blocks", "n_iter", "n_sub", "refine", "n_trackers", "span",
         "taps", "theta_limit", "divisor", "closeness", "error_threshold",
         "interpret", "probe_layout", "interp", "fir_phases",
-        "min_power_fraction",
+        "min_power_fraction", "prefix_rows",
     ),
 )
 def swarm_chunk_pallas(
@@ -1034,6 +1082,7 @@ def swarm_chunk_pallas(
     interp: str = "linear",
     fir_phases: int = 101,
     min_power_fraction: float = 0.0,
+    prefix_rows: int = 0,
 ):
     """K consecutive blocks' whole swarm updates in ONE ``pallas_call`` —
     the chunked-streaming fused-step shape (``_swarm_chunk_kernel``).
@@ -1097,6 +1146,7 @@ def swarm_chunk_pallas(
         interp=interp,
         fir_phases=fir_phases,
         min_power_fraction=float(min_power_fraction),
+        prefix_rows=int(prefix_rows),
     )
     tp2 = windows_raw.shape[-1]
     out_sds = (
