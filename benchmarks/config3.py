@@ -103,10 +103,23 @@ def main():
         unit.process_batch(blocks, now=time.monotonic())
         return time.perf_counter() - t0
 
-    t_small = min(run(small, n_small) for _ in range(3))
-    t_large = min(run(large, n_large) for _ in range(3))
-    amortized = (n_large - n_small) / max(t_large - t_small, 1e-9)
-    raw = n_large / t_large
+    # Each process_batch call pays per-call tunnel overhead (sync + the
+    # fusion pass's stacked target fetches) whose run-to-run variance can
+    # rival the device-time delta, so a single differenced pair is noisy:
+    # measure several interleaved pairs and take the MEDIAN of the
+    # positive per-pair rates (bench.py's median-of-repeats analog).
+    rates = []
+    t_large_best = float("inf")
+    for _ in range(5):
+        t_s = run(small, n_small)
+        t_l = run(large, n_large)
+        t_large_best = min(t_large_best, t_l)
+        if t_l > t_s:
+            rates.append((n_large - n_small) / (t_l - t_s))
+    rates.sort()
+    amortized = rates[len(rates) // 2] if rates else float("nan")
+    raw = n_large / t_large_best
+    print(f"# pair rates: {[round(r) for r in rates]}", file=sys.stderr)
     print(
         f"# config3 (2x{CHANNELS_PER_ARRAY} mics, fused step + fusion): "
         f"amortized {amortized:.0f} blocks/s, single-call {raw:.0f} blocks/s",
