@@ -171,9 +171,12 @@ def gen_config3(m: dict) -> str:
         f"time, driven through `ControlUnit.process_batch`): "
         f"**{fmt(c['blocks_per_s'], 0)} blocks/s = "
         f"{fmt(rt(c['blocks_per_s']), 1)}× real time** amortized "
-        f"({fmt(c['single_call_blocks_per_s'], 0)} blocks/s = "
-        f"{fmt(rt(c['single_call_blocks_per_s']), 1)}× single-call with "
-        f"the fixed per-call tunnel sync included).  Measured by "
+        f"(median of differenced pairs — the per-call tunnel overhead's "
+        f"variance rivals the device delta here, so single pairs ranged "
+        f"5–18k blocks/s; the conservative single-call rate with ALL "
+        f"per-call overhead included is "
+        f"{fmt(c['single_call_blocks_per_s'], 0)} blocks/s = "
+        f"{fmt(rt(c['single_call_blocks_per_s']), 1)}×).  Measured by "
         f"`benchmarks/config3.py`."
     )
 
