@@ -155,6 +155,35 @@ def test_fused_chunk_scan_matches_per_block_scan():
     assert int(np.asarray(state_b.block_index)) == 12
 
 
+def test_fused_chunk_vmem_gate_falls_back(capsys):
+    """A chunk whose VMEM-resident windows exceed the budget (large
+    apertures: span*C scales with channels) is refused with a stderr note
+    and the step silently uses the per-block path (app/awpu.py gate)."""
+    import dataclasses
+
+    from beamforming_lk_tpu.app import awpu_init, make_awpu_step
+    from beamforming_lk_tpu.config import Config, DspConfig, MimoConfig
+    from beamforming_lk_tpu.ops import antenna as ant_ops
+
+    pts = ant_ops.multi_array_cluster(256, 8, 8, 0.02)
+    cfg = Config(
+        dsp=DspConfig(fused_chunk=48, shift_range=128, history=2048),
+        mimo=MimoConfig(rows=8, columns=8),
+        tracker=TrackerConfig(iterations=2, probe_kernel="pallas",
+                              n_seekers=4, n_trackers=2),
+    )
+    step = make_awpu_step(pts, cfg)
+    err = capsys.readouterr().err
+    assert "VMEM" in err and "per-block fused step" in err
+    # And the step still runs (per-block path).
+    state = awpu_init(cfg, 256, seed=0)
+    blocks = jnp.stack(list(synthetic_blocks(
+        pts, SOURCES, 2, amplitude=1e-2
+    )))
+    state, out = step.scan(state, blocks)
+    assert np.isfinite(np.asarray(out.prev_max)).all()
+
+
 def test_fused_step_requires_enough_slots():
     dsp = DspConfig()
     with pytest.raises(ValueError):
