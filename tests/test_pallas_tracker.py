@@ -232,21 +232,23 @@ def test_fused_kernel_miso_beam_matches_xla_weights(interp):
     np.testing.assert_allclose(got / scale, want / scale, atol=5e-5)
 
 
-def test_fused_chunk_matches_per_block():
+@pytest.mark.parametrize("interp", ["linear", "fir"])
+def test_fused_chunk_matches_per_block(interp):
     """The K-block chunked kernel (swarm_chunk_pallas via
     make_fused_chunk_impl) reproduces K sequential per-block fused steps:
     identical key schedule by construction, identical block math via the
     shared _make_swarm_block_update — trajectories, discrete decisions,
-    published targets and MISO beams all match."""
+    published targets and MISO beams all match (both interp modes)."""
     from beamforming_lk_tpu.io import ring as rg
     from beamforming_lk_tpu.io.synthetic import plane_wave_block
     from beamforming_lk_tpu.models import miso as ms
 
-    dsp = DspConfig()
+    dsp = DspConfig(interp=interp)
     cfg = TrackerConfig(iterations=2, tracker_steps=3, probe_kernel="pallas",
                         seeker_reset_interval=3)  # a reset fires mid-chunk
     pts = ant.create_antenna_grid(8, 8, 0.02)
-    span = dl.probe_span(pts, ACFG.samples_per_meter, dl.LINEAR_TAPS,
+    taps_n = dl.LINEAR_TAPS if interp == "linear" else dsp.fir_taps
+    span = dl.probe_span(pts, ACFG.samples_per_meter, taps_n,
                          dsp.shift_range)
     fused = tk.make_fused_step_impl(cfg, dsp, ACFG, probe_span=span)
     chunk = tk.make_fused_chunk_impl(cfg, dsp, ACFG, probe_span=span,
@@ -268,7 +270,7 @@ def test_fused_chunk_matches_per_block():
                                rng=np.random.default_rng(70 + i))
         hist = rg.ring_push(hist, jnp.asarray(blk))
         w = rg.ring_window(hist, dsp.block_size, dsp.shift_range,
-                           dl.LINEAR_TAPS)
+                           taps_n)
         windows.append(w)
         state_a, tg, miso_a, beam = fused(
             state_a, miso_a, w, jnp.int32(i), pts_j, None
